@@ -1,0 +1,129 @@
+"""Color space conversions, bit-exact with OpenCV's uint8 paths.
+
+The reference extracts the LAB B-channel with ``cv2.cvtColor(img,
+cv2.COLOR_RGB2LAB)`` (lane_tracker.py:208) and thresholds it with small
+margins (C_b=5), so the conversion must match OpenCV to the unit.  OpenCV's
+8-bit Lab path is fixed-point: an sRGB linearization LUT scaled by 255*8, a
+cube-root LUT scaled by 2^15, and 2^12-scaled XYZ coefficients with the D65
+white point folded in.  The tables are generated here at import time with
+float32 arithmetic (matching OpenCV's softfloat table initialization — this
+was validated bit-exact against cv2 over an exhaustive color grid), and the
+per-pixel math is pure int32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+_LAB_SHIFT = 12
+_GAMMA_SHIFT = 3
+_LAB_SHIFT2 = _LAB_SHIFT + _GAMMA_SHIFT  # 15
+_GAMMA_TAB_SIZE = 256
+_CBRT_TAB_SIZE = 256 * 3 // 2 * (1 << _GAMMA_SHIFT)  # 3072
+
+_D65 = (0.950456, 1.0, 1.088754)
+_XYZ = (
+    (0.412453, 0.357580, 0.180423),
+    (0.212671, 0.715160, 0.072169),
+    (0.019334, 0.119193, 0.950227),
+)
+
+
+def _round_half_even(x):
+    return np.rint(x).astype(np.int64)
+
+
+@functools.lru_cache(maxsize=1)
+def _tables():
+    # sRGB linearization LUT, computed in float32 like OpenCV's softfloat init.
+    i = np.arange(_GAMMA_TAB_SIZE, dtype=np.float32)
+    x = (i / np.float32(255.0)).astype(np.float32)
+    lo = (x / np.float32(12.92)).astype(np.float32)
+    hi = (((x + np.float32(0.055)) / np.float32(1.055)) ** np.float32(2.4)).astype(
+        np.float32
+    )
+    gamma = np.where(x <= np.float32(0.04045), lo, hi)
+    gamma_tab = _round_half_even(
+        (np.float32(255.0 * (1 << _GAMMA_SHIFT)) * gamma).astype(np.float32)
+    ).astype(np.int32)
+
+    # Cube-root LUT with the CIE linear segment below 0.008856.
+    t = (
+        np.arange(_CBRT_TAB_SIZE, dtype=np.float32)
+        * (np.float32(1.0) / np.float32(255.0 * (1 << _GAMMA_SHIFT)))
+    ).astype(np.float32)
+    cbrt = np.where(
+        t < np.float32(0.008856),
+        t * np.float32(7.787) + np.float32(0.13793103448275862),
+        np.cbrt(t, dtype=np.float32),
+    )
+    cbrt_tab = _round_half_even(
+        (np.float32(1 << _LAB_SHIFT2) * cbrt).astype(np.float32)
+    ).astype(np.int32)
+
+    coeffs = np.zeros((3, 3), dtype=np.int32)
+    for r in range(3):
+        for c in range(3):
+            coeffs[r, c] = _round_half_even(
+                np.float64(
+                    np.float32(_XYZ[r][c])
+                    / np.float32(_D65[r])
+                    * np.float32(1 << _LAB_SHIFT)
+                )
+            )
+    return gamma_tab, cbrt_tab, coeffs
+
+
+def _descale(v, n):
+    return (v + (1 << (n - 1))) >> n
+
+
+def rgb2lab_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """Convert an (H, W, 3) uint8 RGB image to OpenCV-exact uint8 LAB."""
+    gamma_tab, cbrt_tab, C = _tables()
+    gamma_tab = jnp.asarray(gamma_tab)
+    cbrt_tab = jnp.asarray(cbrt_tab)
+
+    rgb = img.astype(jnp.int32)
+    R = jnp.take(gamma_tab, rgb[..., 0], axis=0)
+    G = jnp.take(gamma_tab, rgb[..., 1], axis=0)
+    B = jnp.take(gamma_tab, rgb[..., 2], axis=0)
+
+    def f(row):
+        acc = R * int(C[row, 0]) + G * int(C[row, 1]) + B * int(C[row, 2])
+        idx = jnp.clip(_descale(acc, _LAB_SHIFT), 0, _CBRT_TAB_SIZE - 1)
+        return jnp.take(cbrt_tab, idx, axis=0)
+
+    fX, fY, fZ = f(0), f(1), f(2)
+    l_scale = (116 * 255 + 50) // 100
+    l_shift = -((16 * 255 * (1 << _LAB_SHIFT2) + 50) // 100)
+    L = _descale(l_scale * fY + l_shift, _LAB_SHIFT2)
+    a = _descale(500 * (fX - fY) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    b = _descale(200 * (fY - fZ) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    lab = jnp.stack([L, a, b], axis=-1)
+    return jnp.clip(lab, 0, 255).astype(jnp.uint8)
+
+
+def rgb2lab_b_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """Only the LAB B-channel (the one the filter stage consumes,
+    lane_tracker.py:208) — skips the L and a channels entirely."""
+    gamma_tab, cbrt_tab, C = _tables()
+    gamma_tab = jnp.asarray(gamma_tab)
+    cbrt_tab = jnp.asarray(cbrt_tab)
+
+    rgb = img.astype(jnp.int32)
+    R = jnp.take(gamma_tab, rgb[..., 0], axis=0)
+    G = jnp.take(gamma_tab, rgb[..., 1], axis=0)
+    B = jnp.take(gamma_tab, rgb[..., 2], axis=0)
+
+    def f(row):
+        acc = R * int(C[row, 0]) + G * int(C[row, 1]) + B * int(C[row, 2])
+        idx = jnp.clip(_descale(acc, _LAB_SHIFT), 0, _CBRT_TAB_SIZE - 1)
+        return jnp.take(cbrt_tab, idx, axis=0)
+
+    fY, fZ = f(1), f(2)
+    b = _descale(200 * (fY - fZ) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    return jnp.clip(b, 0, 255).astype(jnp.uint8)

@@ -1,0 +1,50 @@
+import numpy as np
+import pytest
+
+from tests.conftest import requires_cv2
+
+from lane_tracker_tpu.ops.color import rgb2lab_u8, rgb2lab_b_u8
+
+
+@requires_cv2
+def test_lab_exhaustive_grid_matches_cv2():
+    import cv2
+
+    rs = np.arange(0, 256, 2)
+    grid = (
+        np.stack(np.meshgrid(rs, rs, rs, indexing="ij"), axis=-1)
+        .astype(np.uint8)
+        .reshape(2048, -1, 3)
+    )
+    ref = cv2.cvtColor(grid, cv2.COLOR_RGB2LAB)
+    mine = np.asarray(rgb2lab_u8(grid))
+    np.testing.assert_array_equal(ref, mine)
+
+
+@requires_cv2
+def test_lab_random_matches_cv2(rng):
+    import cv2
+
+    img = rng.integers(0, 256, (257, 123, 3), dtype=np.uint8)
+    ref = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+    mine = np.asarray(rgb2lab_u8(img))
+    np.testing.assert_array_equal(ref, mine)
+
+
+@requires_cv2
+def test_lab_b_channel_on_real_frame(test_frame):
+    import cv2
+
+    ref_b = cv2.cvtColor(test_frame, cv2.COLOR_RGB2LAB)[:, :, 2]
+    mine_b = np.asarray(rgb2lab_b_u8(test_frame))
+    np.testing.assert_array_equal(ref_b, mine_b)
+
+
+def test_lab_shapes_and_dtype():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    out = np.asarray(rgb2lab_u8(img))
+    assert out.shape == (8, 8, 3) and out.dtype == np.uint8
+    b = np.asarray(rgb2lab_b_u8(img))
+    assert b.shape == (8, 8) and b.dtype == np.uint8
+    # black -> L=0, a=b=128
+    assert out[0, 0, 0] == 0 and out[0, 0, 1] == 128 and out[0, 0, 2] == 128
