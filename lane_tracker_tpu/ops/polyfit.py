@@ -75,6 +75,12 @@ def fit_poly_mask(mask: jnp.ndarray) -> jnp.ndarray:
         ]
     )
     b = jnp.stack([P2, P1, P0])
+    # Degenerate masks (fewer than 3 points) would make the solve singular;
+    # substitute the identity so the result stays finite. Callers gate on
+    # detection flags, matching the reference which never fits empty sets.
+    degenerate = n < 3.0
+    M = jnp.where(degenerate, jnp.eye(3, dtype=jnp.float32), M)
+    b = jnp.where(degenerate, jnp.zeros((3,), jnp.float32), b)
     abc = jnp.linalg.solve(M, b[:, None])[:, 0]  # u = a t^2 + b t + c
     a, bb, c = abc[0], abc[1], abc[2]
 

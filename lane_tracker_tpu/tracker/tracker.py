@@ -1,12 +1,263 @@
-"""Stateful LaneTracker wrapper (reference-compatible API).
+"""Stateful LaneTracker wrapper with the reference-compatible API.
 
-Placeholder while the functional core lands; replaced by the full
-implementation in this same module.
+Drop-in equivalent of the reference ``LaneTracker``
+(lane_tracker.py:85-1209): same constructor signature (lane_tracker.py:101),
+same ``process()`` keyword surface and defaults (lane_tracker.py:876-900),
+same ``get_success_ratio()`` (lane_tracker.py:178-181).  Internally it is a
+thin shell: per-call kwargs become a static ``TrackerConfig``, the pure
+jitted step runs on device, and host-side post-processing adds the text
+annotations (and optional debug visualizations).
 """
 
 from __future__ import annotations
 
+import numpy as np
 
-class LaneTracker:  # pragma: no cover - replaced by full implementation
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError("LaneTracker lands with tracker/step.py")
+from lane_tracker_tpu.tracker.config import (
+    FilterConfig,
+    SearchConfig,
+    TrackerConfig,
+    ValidityConfig,
+)
+from lane_tracker_tpu.tracker.state import TrackerState, state_from_npz, state_to_npz
+from lane_tracker_tpu.tracker.step import (
+    TrackerParams,
+    build_step,
+    make_initial_state,
+    tracker_step,
+)
+from lane_tracker_tpu.render.text import draw_text
+
+
+class LaneTracker:
+    """Track the two ego-lane boundary lines across a video stream.
+
+    Args mirror the reference constructor (lane_tracker.py:101-137), plus:
+        validity: optional ValidityConfig overriding the committed
+            thresholds (the reference hardcodes them; see PRESETS for the
+            per-demo-video sets documented in tracker_settings.md).
+        pipeline: 'fast' (fused undistort+warp single gather; default) or
+            'compat' (two-stage chain bit-matching the reference's
+            cv2.undistort + cv2.warpPerspective).
+    """
+
+    def __init__(
+        self,
+        img_size,
+        warped_size,
+        cam_matrix,
+        dist_coeffs,
+        warp_matrices,
+        mpp_conversion,
+        n_fail=8,
+        n_reset=4,
+        n_average=2,
+        print_frame_count=False,
+        validity: ValidityConfig | None = None,
+        pipeline: str = "fast",
+    ):
+        self.img_size = tuple(int(v) for v in img_size)
+        self.warped_size = tuple(int(v) for v in warped_size)
+        self.n_fail = int(n_fail)
+        self.n_reset = int(n_reset)
+        self.n_average = int(n_average)
+        self.print_frame_count = bool(print_frame_count)
+        self._validity = validity if validity is not None else ValidityConfig()
+        self.params = TrackerParams.build(
+            np.asarray(cam_matrix, np.float64),
+            np.asarray(dist_coeffs, np.float64),
+            np.asarray(warp_matrices[0], np.float64),
+            np.asarray(warp_matrices[1], np.float64),
+            self.img_size,
+            self.warped_size,
+            float(mpp_conversion[0]),
+            float(mpp_conversion[1]),
+            pipeline=pipeline,
+        )
+        self._state: TrackerState | None = None
+        self._prev_state: TrackerState | None = None
+        self.counter = 0
+        self.success = 0
+        self.last_output = None  # StepOutput of the most recent frame
+
+    # -- state management ---------------------------------------------------
+
+    def _ensure_state(self, config: TrackerConfig):
+        if self._state is None:
+            self._state = make_initial_state(config, self.warped_size)
+
+    def reset(self):
+        """Forget all tracking state (fresh stream)."""
+        self._state = None
+        self.counter = 0
+        self.success = 0
+
+    def save_state(self, path):
+        """Snapshot tracker state for checkpoint/resume."""
+        if self._state is None:
+            raise RuntimeError("no state to save; process a frame first")
+        state_to_npz(self._state, path)
+
+    def load_state(self, path):
+        self._state = state_from_npz(path)
+        self.counter = int(self._state.counter)
+        self.success = int(self._state.success)
+
+    # -- the public API -----------------------------------------------------
+
+    def get_success_ratio(self):
+        """Fraction of processed frames with valid lane lines
+        (lane_tracker.py:178-181)."""
+        return self.success / self.counter, self.success, self.counter
+
+    def _config_from_kwargs(
+        self,
+        ksize_r,
+        C_r,
+        ksize_b,
+        C_b,
+        filter_type,
+        mask_noise,
+        noise_thresh,
+        ksize_noise,
+        C_noise,
+        window_width,
+        window_height,
+        search_range,
+        mu,
+        no_success_limit,
+        start_slice,
+        ignore_sides,
+        ignore_bottom,
+        bandwidth,
+        partial,
+        n_tries,
+    ) -> TrackerConfig:
+        return TrackerConfig(
+            filter=FilterConfig(
+                filter_type=filter_type,
+                ksize_r=int(ksize_r),
+                C_r=int(C_r),
+                ksize_b=int(ksize_b),
+                C_b=int(C_b),
+                mask_noise=bool(mask_noise),
+                noise_thresh=int(noise_thresh),
+                ksize_noise=int(ksize_noise),
+                C_noise=int(C_noise),
+            ),
+            search=SearchConfig(
+                window_width=int(window_width),
+                window_height=int(window_height),
+                search_range=int(search_range),
+                mu=float(mu),
+                no_success_limit=int(no_success_limit),
+                start_slice=float(start_slice),
+                ignore_sides=int(ignore_sides),
+                ignore_bottom=int(ignore_bottom),
+                bandwidth=int(bandwidth),
+                partial=float(partial),
+            ),
+            validity=self._validity,
+            n_tries=int(n_tries),
+            n_fail=self.n_fail,
+            n_reset=self.n_reset,
+            n_average=self.n_average,
+        )
+
+    def process(
+        self,
+        img,
+        ksize_r=15,
+        C_r=8,
+        ksize_b=35,
+        C_b=5,
+        filter_type="bilateral",
+        mask_noise=False,
+        noise_thresh=140,
+        ksize_noise=65,
+        C_noise=10,
+        window_width=30,
+        window_height=40,
+        search_range=20,
+        mu=0.1,
+        no_success_limit=8,
+        start_slice=0.25,
+        ignore_sides=360,
+        ignore_bottom=30,
+        bandwidth=25,
+        partial=1.0,
+        n_tries=2,
+        visualize_search=False,
+        split_view=False,
+        diagnostics=False,
+    ):
+        """Process one RGB uint8 frame; returns the annotated frame.
+
+        Mirrors the reference's keyword surface and defaults exactly
+        (lane_tracker.py:876-900; per-argument docs there apply verbatim).
+        With ``visualize_search`` returns (frame, search_visualization);
+        with ``split_view`` returns the 3-pane composite.
+        """
+        config = self._config_from_kwargs(
+            ksize_r, C_r, ksize_b, C_b, filter_type, mask_noise, noise_thresh,
+            ksize_noise, C_noise, window_width, window_height, search_range,
+            mu, no_success_limit, start_slice, ignore_sides, ignore_bottom,
+            bandwidth, partial, n_tries,
+        )
+        self._ensure_state(config)
+        step = build_step(config)
+        frame = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+        self._prev_state = self._state
+        self._state, out = step(self._state, frame, self.params)
+        self.last_output = out
+        self.counter += 1
+        if bool(out.valid):
+            self.success += 1
+
+        if diagnostics:
+            mode = "band" if int(out.search_mode) else "sliding window"
+            print(f"Using {mode} search.")
+            if bool(out.detected):
+                print("Lane pixels found.")
+            else:
+                print("No lane pixels found.")
+            if bool(out.valid):
+                print(f"Valid lane lines found (attempt {int(out.n_attempts)}).")
+            else:
+                print("No success after all attempts.")
+
+        annotated = np.asarray(out.overlay).copy()
+        if int(out.render_mode) == 0:
+            draw_text(
+                annotated, f"Curve Radius: {int(out.radius)} m", (20, 35)
+            )
+            draw_text(
+                annotated, f"Eccentricity: {float(out.ecc):.2f} m", (20, 70)
+            )
+            if self.print_frame_count:
+                draw_text(annotated, f"Frame: {self.counter - 1}", (20, 105))
+        else:
+            draw_text(annotated, "Lane Line Detection Failed", (20, 35))
+            if self.print_frame_count:
+                draw_text(annotated, f"Frame: {self.counter - 1}", (20, 70))
+
+        if visualize_search or split_view:
+            from lane_tracker_tpu.render.viz import search_visualization
+
+            viz = search_visualization(self, frame, config, out)
+            if visualize_search:
+                return annotated, viz
+            from lane_tracker_tpu.render.split import triple_split_view
+            from lane_tracker_tpu.kernels.resample import bilinear_gather
+            from lane_tracker_tpu.calib.homography import perspective_grid
+            from lane_tracker_tpu.kernels.resample import ResampleGrid
+
+            # The reference always pre-warps the raw frame for the split
+            # view (lane_tracker.py:1035).
+            if self.params.grid_warp is not None:
+                warp_grid = self.params.grid_warp
+            else:
+                warp_grid = self.params.grid_fused
+            warped = np.asarray(bilinear_gather(frame, warp_grid))
+            return triple_split_view([annotated, warped, viz])
+        return annotated

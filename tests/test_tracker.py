@@ -1,0 +1,212 @@
+import contextlib
+import importlib.util
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+from lane_tracker_tpu.tracker.config import PRESETS, ValidityConfig
+from lane_tracker_tpu.tracker.tracker import LaneTracker
+
+REF = pathlib.Path("/root/reference")
+
+DEMO1_KW = dict(
+    ksize_r=15, C_r=8, ksize_b=35, C_b=5, filter_type="bilateral",
+    mask_noise=True, noise_thresh=140, ksize_noise=65, C_noise=10,
+    window_width=30, window_height=40, search_range=20, mu=0.1,
+    no_success_limit=50, start_slice=0.25, ignore_sides=360,
+    ignore_bottom=30, bandwidth=30, partial=1.0, n_tries=2,
+)
+
+
+@contextlib.contextmanager
+def _numpy_2017_shims():
+    """Minimal in-memory compat shims so the 2017-era reference runs on
+    modern NumPy (float linspace num, np.int alias). The reference files
+    are never modified."""
+    orig_linspace = np.linspace
+    had_int = hasattr(np, "int")
+
+    def linspace(start, stop, num=50, **kw):
+        return orig_linspace(start, stop, int(num), **kw)
+
+    np.linspace = linspace
+    if not had_int:
+        np.int = int
+    try:
+        yield
+    finally:
+        np.linspace = orig_linspace
+        if not had_int and hasattr(np, "int"):
+            del np.int
+
+
+@pytest.fixture(scope="session")
+def ref_process_module():
+    if not (REF / "lane_tracker.py").exists():
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, str(REF))
+    spec = importlib.util.spec_from_file_location(
+        "ref_lane_tracker_proc", REF / "lane_tracker.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _make_ref_tracker(ref_process_module, calib, **kw):
+    cam, warp = calib
+    return ref_process_module.LaneTracker(
+        warp.image_width_height,
+        warp.warped_width_height,
+        cam.cam_matrix,
+        cam.dist_coeffs,
+        (warp.M, warp.Minv),
+        (warp.mppv, warp.mpph),
+        **kw,
+    )
+
+
+def _make_tpu_tracker(calib, validity=None, pipeline="compat"):
+    cam, warp = calib
+    return LaneTracker(
+        warp.image_width_height,
+        warp.warped_width_height,
+        cam.cam_matrix,
+        cam.dist_coeffs,
+        (warp.M, warp.Minv),
+        (warp.mppv, warp.mpph),
+        validity=validity,
+        pipeline=pipeline,
+    )
+
+
+def _band_patch(ref_lt):
+    """Replace the reference band_search with an equivalent implementation
+    (its float-slice indexing crashes on modern NumPy; semantics verified
+    separately in test_search.py::test_band_search_matches_oracle)."""
+    import types
+
+    def band_search(self, img, bandwidth, ignore_bottom=30, partial=1,
+                    diagnostics=False):
+        work = np.copy(img)
+        work[work.shape[0] - ignore_bottom :, :] = 0
+        work[: int(work.shape[0] * (1 - partial)), :] = 0
+        yy, xx = np.nonzero(work)
+        keep = {}
+        for side, coeffs in (("left", self.last_left_coeffs),
+                             ("right", self.last_right_coeffs)):
+            px = coeffs[0] * yy.astype(np.float64) ** 2 + coeffs[1] * yy + coeffs[2]
+            keep[side] = (xx > px - bandwidth) & (xx < px + bandwidth)
+        if xx[keep["left"]].size and xx[keep["right"]].size:
+            self.left_y, self.left_x = yy[keep["left"]], xx[keep["left"]]
+            self.right_y, self.right_x = yy[keep["right"]], xx[keep["right"]]
+            self.detected_pixels = True
+        else:
+            self.detected_pixels = False
+
+    ref_lt.band_search = types.MethodType(band_search, ref_lt)
+
+
+@pytest.mark.parametrize("order", [("frame911.jpg", "frame971.jpg")])
+def test_tracker_matches_reference_process(ref_process_module, calib, order):
+    """Full process() parity over the warm-start frame pair: detection
+    flags, success counters, and coefficient curves within 0.5 px RMSE."""
+    from PIL import Image
+    from tests.conftest import ASSETS_DIR
+
+    ref_lt = _make_ref_tracker(ref_process_module, calib)
+    _band_patch(ref_lt)
+    tpu_lt = _make_tpu_tracker(calib, validity=PRESETS["demo1"].validity,
+                               pipeline="compat")
+
+    # Apply demo1 validity thresholds to the reference via check_validity
+    # monkeypatching is impossible (hardcoded constants) — instead compare
+    # under the committed thresholds for both.
+    tpu_lt2 = _make_tpu_tracker(calib, pipeline="compat")
+
+    H = 1100
+    for name in order:
+        frame = np.asarray(Image.open(ASSETS_DIR / name).convert("RGB"))
+        with _numpy_2017_shims():
+            ref_out = ref_lt.process(np.copy(frame), **DEMO1_KW)
+        tpu_out = tpu_lt2.process(frame, **DEMO1_KW)
+        assert tpu_out.shape == ref_out.shape == frame.shape
+        out = tpu_lt2.last_output
+
+        # Reference state vs ours
+        assert bool(out.detected) == bool(ref_lt.detected_pixels)
+        assert bool(out.valid) == bool(ref_lt.valid_lane_lines)
+        if bool(out.valid):
+            yy = np.arange(H, dtype=float)
+            for mine, ref in (
+                (np.asarray(out.left_coeffs, float), ref_lt.last_left_coeffs),
+                (np.asarray(out.right_coeffs, float), ref_lt.last_right_coeffs),
+            ):
+                rmse = np.sqrt(
+                    np.mean((np.polyval(mine, yy) - np.polyval(ref, yy)) ** 2)
+                )
+                assert rmse < 0.5, f"coefficient curve RMSE {rmse}"
+            assert abs(int(out.radius) - ref_lt.average_curve_radius) <= max(
+                3, 0.01 * ref_lt.average_curve_radius
+            )
+            assert abs(float(out.ecc) - ref_lt.eccentricity) < 0.02
+
+    assert tpu_lt2.get_success_ratio()[1:] == ref_lt.get_success_ratio()[1:]
+
+
+def test_tracker_failure_grace_and_reset(calib):
+    """Failure path state machine: grace-period rendering then failure
+    message, and band -> sliding-window reset after n_reset misses."""
+    tpu_lt = _make_tpu_tracker(calib, validity=PRESETS["demo1"].validity)
+    from PIL import Image
+    from tests.conftest import ASSETS_DIR
+
+    good = np.asarray(Image.open(ASSETS_DIR / "frame911.jpg").convert("RGB"))
+    black = np.zeros_like(good)
+
+    out1 = tpu_lt.process(good, **DEMO1_KW)
+    first_valid = bool(tpu_lt.last_output.valid)
+    assert first_valid
+    assert int(tpu_lt.last_output.search_mode) == 0  # first frame: sliding
+
+    # Feed black frames: no pixels -> invalid; previous lane rendered for
+    # n_fail frames, then the failure message.
+    for i in range(1, 10):
+        tpu_lt.process(black, **DEMO1_KW)
+        out = tpu_lt.last_output
+        assert not bool(out.valid)
+        # Mode select reads last_detection at frame entry (pre-increment):
+        # band while entry value i-1 <= n_reset=4, i.e. through i=5.
+        if i <= 5:
+            assert int(out.search_mode) == 1
+        else:
+            assert int(out.search_mode) == 0
+        if i <= 8:  # n_fail = 8 -> previous lane still rendered
+            assert int(out.render_mode) == 0
+        else:
+            assert int(out.render_mode) == 1
+
+    ratio, succ, cnt = tpu_lt.get_success_ratio()
+    assert (succ, cnt) == (1, 10)
+
+
+def test_tracker_state_snapshot_roundtrip(calib, tmp_path):
+    from PIL import Image
+    from tests.conftest import ASSETS_DIR
+
+    frame = np.asarray(Image.open(ASSETS_DIR / "frame911.jpg").convert("RGB"))
+    lt1 = _make_tpu_tracker(calib, validity=PRESETS["demo1"].validity)
+    lt1.process(frame, **DEMO1_KW)
+    lt1.save_state(tmp_path / "state.npz")
+
+    lt2 = _make_tpu_tracker(calib, validity=PRESETS["demo1"].validity)
+    lt2.load_state(tmp_path / "state.npz")
+    # Continuing from the snapshot must give the same result as continuing
+    # the original tracker.
+    f2 = np.asarray(Image.open(ASSETS_DIR / "frame971.jpg").convert("RGB"))
+    o1 = lt1.process(f2, **DEMO1_KW)
+    o2 = lt2.process(f2, **DEMO1_KW)
+    np.testing.assert_array_equal(o1, o2)
+    assert int(lt1.last_output.search_mode) == 1  # warm start -> band
