@@ -142,17 +142,27 @@ def sliding_window_search(
         (jnp.arange(W) >= img_center) & (jnp.arange(W) < W - ignore_sides), col_sum, 0
     )
     # The reference convolves the *sliced* arrays; emulate by slicing here
-    # (static bounds), so conv indices match its coordinate frame.
-    lslice = left_sum[ignore_sides:img_center]
-    rslice = right_sum[img_center : W - ignore_sides]
-    conv_l0 = _full_conv_ones(lslice[None, :], ww)[0]
-    conv_r0 = _full_conv_ones(rslice[None, :], ww)[0]
-    left_c0, left_found0 = _initial_centroid(
-        conv_l0, jnp.any(lslice > 0), ignore_sides, int(W * 0.4), ww
-    )
-    right_c0, right_found0 = _initial_centroid(
-        conv_r0, jnp.any(rslice > 0), img_center, int(W * 0.6), ww
-    )
+    # (static bounds), so conv indices match its coordinate frame.  When
+    # ignore_sides reaches the center (tiny geometries) the slice is empty
+    # and the reference's np.any() falls through to the fallback centroid.
+    if img_center - ignore_sides > 0:
+        lslice = left_sum[ignore_sides:img_center]
+        conv_l0 = _full_conv_ones(lslice[None, :], ww)[0]
+        left_c0, left_found0 = _initial_centroid(
+            conv_l0, jnp.any(lslice > 0), ignore_sides, int(W * 0.4), ww
+        )
+    else:
+        left_c0 = jnp.int32(int(W * 0.4))
+        left_found0 = jnp.bool_(False)
+    if (W - ignore_sides) - img_center > 0:
+        rslice = right_sum[img_center : W - ignore_sides]
+        conv_r0 = _full_conv_ones(rslice[None, :], ww)[0]
+        right_c0, right_found0 = _initial_centroid(
+            conv_r0, jnp.any(rslice > 0), img_center, int(W * 0.6), ww
+        )
+    else:
+        right_c0 = jnp.int32(int(W * 0.6))
+        right_found0 = jnp.bool_(False)
 
     # ---- Per-level band sums + convolutions, precomputed for all levels ----
     # Level l covers rows [img_height-(1+l)*wh, img_height-l*wh).
@@ -263,9 +273,12 @@ def sliding_window_search(
 
     # ---- Pixel masks from per-level window decisions ----
     ys = jnp.arange(H)
-    level_of_row = (img_height - 1 - ys) // wh  # valid where 0 <= level < nlevels
-    row_valid = (ys < img_height) & (level_of_row >= 0) & (level_of_row < nlevels)
-    lvl = jnp.clip(level_of_row, 0, nlevels - 1)
+    n_mask_levels = max(nlevels, 1)  # level 0 (initial window) always exists
+    level_of_row = (img_height - 1 - ys) // wh
+    row_valid = (
+        (ys < img_height) & (level_of_row >= 0) & (level_of_row < n_mask_levels)
+    )
+    lvl = jnp.clip(level_of_row, 0, n_mask_levels - 1)
 
     def side_mask(found, cent):
         c_r = jnp.take(cent, lvl)  # (H,)

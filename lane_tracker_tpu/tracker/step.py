@@ -198,19 +198,13 @@ def _run_attempt(binary, state: TrackerState, cfg: TrackerConfig, scfg, params,
     )
 
 
-def tracker_step(
-    state: TrackerState,
-    frame: jnp.ndarray,
-    params: TrackerParams,
-    config: TrackerConfig,
-):
-    """Process one frame. Returns (new_state, StepOutput)."""
-    W, H = params.warped_size
-    ploty_validity = ploty_grid(params.warped_size, 1.0)
-    ploty_render = ploty_grid(params.warped_size, config.search.partial)
+def front_half(frame, params: TrackerParams, config: TrackerConfig):
+    """Stateless per-frame front half: warp channels + attempt-1 filter.
 
+    Separated out so the chunked pipeline can vmap it over frame
+    microbatches while the stateful back half scans (SURVEY §2c).
+    """
     r_chan, b_chan = _warp_channels(frame, params)
-
     f1 = config.filter
     binary1 = filter_lane_points_channels(
         r_chan,
@@ -225,6 +219,50 @@ def tracker_step(
         C_noise=f1.C_noise,
         noise_thresh=f1.noise_thresh,
     )
+    return r_chan, b_chan, binary1
+
+
+class RenderMeta(NamedTuple):
+    """Per-frame inputs of the (stateless) overlay renderer."""
+
+    fitx_left: jnp.ndarray  # (H,) f32
+    fitx_right: jnp.ndarray
+    n_left: jnp.ndarray
+    n_right: jnp.ndarray
+    first_left: jnp.ndarray
+    first_right: jnp.ndarray
+    draw: jnp.ndarray  # () bool
+
+
+def render_frame(frame, meta: RenderMeta, params: TrackerParams):
+    lane_mask = lane_region_mask(
+        params.warped_size,
+        meta.fitx_left,
+        meta.fitx_right,
+        meta.n_left,
+        meta.n_right,
+        meta.first_left,
+        meta.first_right,
+    )
+    return lane_overlay(frame, lane_mask, params.unwarp_grid, meta.draw)
+
+
+def back_half(
+    state: TrackerState,
+    binary1: jnp.ndarray,
+    r_chan: jnp.ndarray,
+    b_chan: jnp.ndarray,
+    params: TrackerParams,
+    config: TrackerConfig,
+):
+    """Sequential back half: search, fit, validate, state update.
+
+    Returns (new_state, StepOutput-without-overlay fields, RenderMeta).
+    """
+    W, H = params.warped_size
+    ploty_validity = ploty_grid(params.warped_size, 1.0)
+    ploty_render = ploty_grid(params.warped_size, config.search.partial)
+
     a1 = _run_attempt(binary1, state, config, config.search, params, ploty_validity)
 
     if config.n_tries >= 2 or config.n_tries == -1:
@@ -333,23 +371,23 @@ def tracker_step(
         success=state.success + valid.astype(jnp.int32),
     )
 
-    # ---- Render: lane overlay, previous lane during the grace period, or
-    # pass-through for the failure message (lane_tracker.py:1160-1173) ----
+    # ---- Render decision: lane overlay, previous lane during the grace
+    # period, or pass-through for the failure message
+    # (lane_tracker.py:1160-1173) ----
     draw_lane_now = valid | (state.has_avg & (last_detection <= config.n_fail))
-    lane_mask = lane_region_mask(
-        params.warped_size,
-        rfitx_left,
-        rfitx_right,
-        rn_left,
-        rn_right,
-        rfirst_left,
-        rfirst_right,
-    )
-    overlay = lane_overlay(frame, lane_mask, params.unwarp_grid, draw_lane_now)
     render_mode = jnp.where(draw_lane_now, jnp.int32(0), jnp.int32(1))
+    meta = RenderMeta(
+        fitx_left=rfitx_left,
+        fitx_right=rfitx_right,
+        n_left=rn_left,
+        n_right=rn_right,
+        first_left=rfirst_left,
+        first_right=rfirst_right,
+        draw=draw_lane_now,
+    )
 
     out = StepOutput(
-        overlay=overlay,
+        overlay=None,
         render_mode=render_mode,
         valid=valid,
         detected=a.detected,
@@ -362,7 +400,20 @@ def tracker_step(
         n_points_left=a.n_left,
         n_points_right=a.n_right,
     )
-    return new_state, out
+    return new_state, out, meta
+
+
+def tracker_step(
+    state: TrackerState,
+    frame: jnp.ndarray,
+    params: TrackerParams,
+    config: TrackerConfig,
+):
+    """Process one frame end to end. Returns (new_state, StepOutput)."""
+    r_chan, b_chan, binary1 = front_half(frame, params, config)
+    new_state, out, meta = back_half(state, binary1, r_chan, b_chan, params, config)
+    overlay = render_frame(frame, meta, params)
+    return new_state, out._replace(overlay=overlay)
 
 
 @functools.lru_cache(maxsize=32)

@@ -1,0 +1,120 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lane_tracker_tpu.calib.synthetic import make_synthetic_calibration, tiny_config
+from lane_tracker_tpu.parallel.mesh import stream_mesh
+from lane_tracker_tpu.parallel.pipeline import chunk_process
+from lane_tracker_tpu.parallel.streams import StreamFleet
+from lane_tracker_tpu.tracker.step import (
+    TrackerParams,
+    make_initial_state,
+    tracker_step,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cam, warp = make_synthetic_calibration(img_size=(128, 96), warped_size=(96, 128))
+    config = tiny_config()
+    params = TrackerParams.build(
+        cam.cam_matrix,
+        cam.dist_coeffs,
+        warp.M,
+        warp.Minv,
+        warp.image_width_height,
+        warp.warped_width_height,
+        warp.mppv,
+        warp.mpph,
+        pipeline="fast",
+    )
+    return params, config
+
+
+def _lane_frames(n, H=96, W=128, seed=0):
+    """Synthetic camera frames with two bright lane stripes on the road."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(20, 60, (n, H, W, 3), dtype=np.uint8)
+    for t in range(n):
+        for xfrac in (0.40, 0.60):
+            for y in range(H // 2, H):
+                # Lines converge toward the vanishing point at the horizon.
+                depth = (y - H // 2) / (H / 2)
+                x = int(W / 2 + (xfrac - 0.5) * W * depth)
+                frames[t, y, max(x - 1, 0) : min(x + 2, W), :] = 230
+    return frames
+
+
+def test_chunk_process_equals_sequential_steps(tiny):
+    params, config = tiny
+    frames = _lane_frames(4)
+    state0 = make_initial_state(config, params.warped_size)
+
+    st_seq = state0
+    seq_outs = []
+    for t in range(4):
+        st_seq, out = jax.jit(
+            lambda s, f: tracker_step(s, f, params, config)
+        )(st_seq, frames[t])
+        seq_outs.append(out)
+
+    st_chunk, outs = jax.jit(
+        lambda s, f: chunk_process(s, f, params, config, True)
+    )(state0, frames)
+
+    for leaf_seq, leaf_chunk in zip(
+        jax.tree_util.tree_leaves(st_seq), jax.tree_util.tree_leaves(st_chunk)
+    ):
+        np.testing.assert_array_equal(np.asarray(leaf_seq), np.asarray(leaf_chunk))
+    for t in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(seq_outs[t].overlay), np.asarray(outs.overlay[t])
+        )
+        assert bool(seq_outs[t].valid) == bool(outs.valid[t])
+        assert int(seq_outs[t].search_mode) == int(outs.search_mode[t])
+
+
+def test_fleet_runs_sharded_over_8_devices(tiny):
+    params, config = tiny
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = stream_mesh(8)
+    fleet = StreamFleet(params, config, n_streams=16, mesh=mesh)
+    frames = np.stack([_lane_frames(2, seed=s) for s in range(16)])
+    outs, metrics = fleet.step(frames)
+    assert int(metrics["frames"]) == 32
+    assert outs.valid.shape == (16, 2)
+    counters = np.asarray(fleet.states.counter)
+    assert counters.shape == (16,) and (counters == 2).all()
+    # Step again: states advance independently per stream.
+    outs, metrics = fleet.step(frames)
+    assert (np.asarray(fleet.states.counter) == 4).all()
+    # The sharded states actually live distributed across the mesh.
+    shard_devs = {d.id for s in fleet.states.counter.addressable_shards for d in [s.device]}
+    assert len(shard_devs) == 8
+
+
+def test_fleet_streams_independent(tiny):
+    """A stream fed black frames must fail while others keep tracking."""
+    params, config = tiny
+    mesh = stream_mesh(8)
+    fleet = StreamFleet(params, config, n_streams=8, mesh=mesh)
+    frames = np.stack([_lane_frames(2, seed=s) for s in range(8)])
+    frames[3] = 0  # kill stream 3
+    outs, metrics = fleet.step(frames)
+    detected = np.asarray(outs.detected)
+    assert not detected[3].any()
+    assert detected[np.arange(8) != 3].any()
+
+
+def test_dryrun_multichip_entry():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
