@@ -1,0 +1,110 @@
+import numpy as np
+import pytest
+
+from lane_tracker_tpu.io.video import (
+    ImageDirSink,
+    ImageDirSource,
+    NpzSink,
+    NpzSource,
+    open_sink,
+    open_source,
+)
+
+
+def _frames(n, H=32, W=48, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (n, H, W, 3), dtype=np.uint8)
+
+
+def test_npz_roundtrip_and_padding(tmp_path):
+    frames = _frames(10)
+    sink = NpzSink(tmp_path / "in.npz")
+    sink.write(frames)
+    sink.close()
+
+    src = NpzSource(tmp_path / "in.npz")
+    assert src.size == (48, 32)
+    chunks = list(src.chunks(4))
+    assert [n for _, n in chunks] == [4, 4, 2]
+    # Padded tail keeps static shape.
+    assert chunks[-1][0].shape == (4, 32, 48, 3)
+    got = np.concatenate([c[:n] for c, n in chunks])
+    np.testing.assert_array_equal(got, frames)
+
+
+def test_image_dir_roundtrip(tmp_path):
+    frames = _frames(5)
+    sink = ImageDirSink(tmp_path / "imgs")
+    sink.write(frames)
+    sink.close()
+    src = ImageDirSource(tmp_path / "imgs")
+    chunks = list(src.chunks(3))
+    got = np.concatenate([c[:n] for c, n in chunks])
+    np.testing.assert_array_equal(got, frames)  # png is lossless
+
+
+def test_open_source_sink_dispatch(tmp_path):
+    frames = _frames(3)
+    s = open_sink(tmp_path / "x.npz", (48, 32))
+    s.write(frames)
+    s.close()
+    src = open_source(tmp_path / "x.npz")
+    assert isinstance(src, NpzSource)
+
+
+def test_cli_end_to_end(tmp_path):
+    """The process_video CLI over a tiny synthetic stream."""
+    from lane_tracker_tpu.calib.io import save_calibration_npz
+    from lane_tracker_tpu.calib.synthetic import make_synthetic_calibration
+    from lane_tracker_tpu.process_video import run
+
+    cam, warp = make_synthetic_calibration(img_size=(128, 96), warped_size=(96, 128))
+    save_calibration_npz(tmp_path / "calib.npz", cam, warp)
+    frames = _frames(6, H=96, W=128, seed=1)
+    sink = NpzSink(tmp_path / "in.npz")
+    sink.write(frames)
+    sink.close()
+
+    rc = run(
+        [
+            str(tmp_path / "in.npz"),
+            str(tmp_path / "out.npz"),
+            "--calibration",
+            str(tmp_path / "calib.npz"),
+            "--preset",
+            "committed",
+            "--chunk",
+            "4",
+            "--metrics-json",
+            str(tmp_path / "metrics.json"),
+        ]
+    )
+    assert rc == 0
+    with np.load(tmp_path / "out.npz") as z:
+        out = z["frames"]
+    assert out.shape == (6, 96, 128, 3)
+    import json
+
+    metrics = json.loads((tmp_path / "metrics.json").read_text())
+    assert metrics["frames"] == 6
+
+
+def test_cli_rejects_mismatched_calibration(tmp_path):
+    from lane_tracker_tpu.calib.io import save_calibration_npz
+    from lane_tracker_tpu.calib.synthetic import make_synthetic_calibration
+    from lane_tracker_tpu.process_video import run
+
+    cam, warp = make_synthetic_calibration(img_size=(64, 48), warped_size=(48, 64))
+    save_calibration_npz(tmp_path / "calib.npz", cam, warp)
+    sink = NpzSink(tmp_path / "in.npz")
+    sink.write(_frames(2, H=96, W=128))
+    sink.close()
+    with pytest.raises(ValueError, match="calibration expects"):
+        run(
+            [
+                str(tmp_path / "in.npz"),
+                str(tmp_path / "out.npz"),
+                "--calibration",
+                str(tmp_path / "calib.npz"),
+            ]
+        )
