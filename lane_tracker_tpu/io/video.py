@@ -238,6 +238,10 @@ def open_source(path) -> FrameSource:
         return ImageDirSource(p)
     if p.suffix == ".npz":
         return NpzSource(p)
+    if p.suffix == ".rgb24":
+        from lane_tracker_tpu.io.native_loader import RawRGB24Source
+
+        return RawRGB24Source(p)
     return FfmpegSource(p)
 
 
@@ -245,6 +249,10 @@ def open_sink(path, size, fps=25.0) -> FrameSink:
     p = pathlib.Path(path)
     if p.suffix == ".npz":
         return NpzSink(p)
+    if p.suffix == ".rgb24":
+        from lane_tracker_tpu.io.native_loader import RawRGB24Sink
+
+        return RawRGB24Sink(p, size, fps)
     if p.suffix in (".mp4", ".avi", ".mkv", ".mov", ".webm"):
         return FfmpegSink(p, size, fps)
     return ImageDirSink(p)

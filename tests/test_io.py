@@ -108,3 +108,47 @@ def test_cli_rejects_mismatched_calibration(tmp_path):
                 str(tmp_path / "calib.npz"),
             ]
         )
+
+
+def test_native_rgb24_roundtrip(tmp_path):
+    from lane_tracker_tpu.io.native_loader import (
+        RawRGB24Sink,
+        RawRGB24Source,
+        build_native,
+        write_rgb24,
+    )
+
+    frames = _frames(11, H=40, W=56, seed=2)
+    write_rgb24(tmp_path / "s.rgb24", frames, fps=30.0)
+
+    src = RawRGB24Source(tmp_path / "s.rgb24")
+    assert src.size == (56, 40) and src.fps == 30.0
+    chunks = list(src.chunks(4))
+    assert [n for _, n in chunks] == [4, 4, 3]
+    assert all(c.shape == (4, 40, 56, 3) for c, _ in chunks)
+    got = np.concatenate([c[:n] for c, n in chunks])
+    np.testing.assert_array_equal(got, frames)
+    # Tail padding repeats the last frame (static chunk shape).
+    np.testing.assert_array_equal(chunks[-1][0][3], frames[-1])
+
+    # Sink side + open_source/open_sink dispatch.
+    from lane_tracker_tpu.io.video import open_sink, open_source
+
+    sink = open_sink(tmp_path / "o.rgb24", (56, 40), fps=30.0)
+    sink.write(frames[:5])
+    sink.close()
+    src2 = open_source(tmp_path / "o.rgb24")
+    got2 = np.concatenate([c[:n] for c, n in src2.chunks(8)])
+    np.testing.assert_array_equal(got2, frames[:5])
+
+
+def test_native_rgb24_fallback_matches_native(tmp_path):
+    from lane_tracker_tpu.io.native_loader import RawRGB24Source, write_rgb24
+
+    frames = _frames(7, H=24, W=32, seed=3)
+    write_rgb24(tmp_path / "s.rgb24", frames)
+    native = RawRGB24Source(tmp_path / "s.rgb24", prefer_native=True)
+    fallback = RawRGB24Source(tmp_path / "s.rgb24", prefer_native=False)
+    for (a, na), (b, nb) in zip(native.chunks(3), fallback.chunks(3)):
+        assert na == nb
+        np.testing.assert_array_equal(a, b)
