@@ -70,61 +70,70 @@ def _shift2d(img, dy, dx, fill):
     return out
 
 
-def _window_filter_1d(img, lo, hi, axis, op, fill):
-    """out(pos) = op over img[pos+lo .. pos+hi] along ``axis``, OOB -> fill.
+class _WindowPyramid:
+    """Shared pow2 window aggregates along one axis.
 
-    The image is first padded with the op's neutral element so partial
-    windows at the borders keep their in-image contributions, then pow2
-    aggregates g_k(x) = op(P[x .. x+2^k-1]) are built by doubling and two
-    overlapping pow2 windows cover the full length L = hi-lo+1.
+    Builds g_k(x) = op(P[x .. x+2^k-1]) once on a padded array; any window
+    [lo, hi] (relative offsets, |lo|,hi <= pad) is then two overlapping
+    pow2 windows — one extra op per distinct window instead of a full
+    doubling chain each.  min/max are idempotent, so overlap is safe.
     """
-    L = hi - lo + 1
-    n = img.shape[axis]
-    padL, padR = max(-lo, 0), max(hi, 0)
-    padw = [(0, 0), (0, 0)]
-    padw[axis] = (padL, padR)
-    P = jnp.pad(img, padw, constant_values=fill)
 
-    def sh(a, d):
-        return _shift2d(a, d, 0, fill) if axis == 0 else _shift2d(a, 0, d, fill)
+    def __init__(self, img, axis, op, fill, pad, max_len):
+        self.axis = axis
+        self.op = op
+        self.n = img.shape[axis]
+        self.pad = pad
+        padw = [(0, 0), (0, 0)]
+        padw[axis] = (pad, pad)
+        P = jnp.pad(img, padw, constant_values=fill)
+        self.levels = [P]
+        length = 1
+        while length * 2 <= max_len:
+            g = self.levels[-1]
+            self.levels.append(op(g, self._sh(g, length)))
+            length *= 2
 
-    def sl(a, start):
-        idx = [slice(None), slice(None)]
-        idx[axis] = slice(start, start + n)
-        return a[tuple(idx)]
+    def _sh(self, a, d):
+        # Rotate toward lower indices; wrapped tail values are never read
+        # because all pyramid reads stay within the padded valid extent.
+        if self.axis == 0:
+            return jnp.concatenate([a[d:, :], a[:d, :]], axis=0)
+        return jnp.concatenate([a[:, d:], a[:, :d]], axis=1)
 
-    if L <= 1:
-        return sl(P, padL + lo)
-    g = P
-    length = 1
-    while length * 2 <= L:
-        g = op(g, sh(g, length))
-        length *= 2
-    # combine windows [lo, lo+length-1] and [hi-length+1, hi]
-    return op(sl(g, padL + lo), sl(g, padL + hi - length + 1))
+    def window(self, lo, hi):
+        """op over offsets [lo, hi] for every valid position (length n)."""
+        L = hi - lo + 1
+        k = L.bit_length() - 1
+        p = 1 << k
+
+        def sl(a, start):
+            idx = [slice(None), slice(None)]
+            idx[self.axis] = slice(start, start + self.n)
+            return a[tuple(idx)]
+
+        g = self.levels[k]
+        if p == L:
+            return sl(g, self.pad + lo)
+        return self.op(sl(g, self.pad + lo), sl(g, self.pad + hi - p + 1))
 
 
 def _morph(img, ksize, op, fill):
     runs = ellipse_runs(ksize)
-    # Group rows by run extent so each distinct horizontal filter runs once.
+    c = ksize // 2
     by_extent = {}
     for dy, ext in runs:
         by_extent.setdefault(ext, []).append(dy)
-    horiz = {
-        ext: _window_filter_1d(img, ext[0], ext[1], axis=1, op=op, fill=fill)
-        for ext in by_extent
-    }
-    # Rows with identical extents at symmetric dy combine via a vertical
-    # window filter over the contiguous dy span when possible; fall back to
-    # per-row shifts (spans are contiguous for an ellipse, so group them).
+    max_run = max(hi - lo + 1 for (lo, hi) in by_extent)
+    hpyr = _WindowPyramid(img, axis=1, op=op, fill=fill, pad=c, max_len=max_run)
+
     out = None
-    for ext, dys in by_extent.items():
+    for ext, dys in sorted(by_extent.items()):
+        h = hpyr.window(ext[0], ext[1])
+        # Contiguous dy spans of this extent combine via one vertical window.
         dys = sorted(dys)
-        h = horiz[ext]
-        # contiguous dy ranges
-        start = dys[0]
-        prev = dys[0]
         segments = []
+        start = prev = dys[0]
         for d in dys[1:]:
             if d == prev + 1:
                 prev = d
@@ -132,8 +141,10 @@ def _morph(img, ksize, op, fill):
                 segments.append((start, prev))
                 start = prev = d
         segments.append((start, prev))
+        max_span = max(hi - lo + 1 for lo, hi in segments)
+        vpyr = _WindowPyramid(h, axis=0, op=op, fill=fill, pad=c, max_len=max_span)
         for lo, hi in segments:
-            seg = _window_filter_1d(h, lo, hi, axis=0, op=op, fill=fill)
+            seg = vpyr.window(lo, hi)
             out = seg if out is None else op(out, seg)
     return out
 
