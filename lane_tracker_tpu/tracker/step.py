@@ -67,10 +67,18 @@ class TrackerParams:
     mppv: float
     mpph: float
     pipeline: str  # 'fast' | 'compat'
+    filter_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
     def tree_flatten(self):
         children = (self.grid_und, self.grid_warp, self.grid_fused, self.unwarp_grid)
-        aux = (self.img_size, self.warped_size, self.mppv, self.mpph, self.pipeline)
+        aux = (
+            self.img_size,
+            self.warped_size,
+            self.mppv,
+            self.mpph,
+            self.pipeline,
+            self.filter_backend,
+        )
         return children, aux
 
     @classmethod
@@ -89,6 +97,7 @@ class TrackerParams:
         mppv,
         mpph,
         pipeline: str = "fast",
+        filter_backend: str = "auto",
     ) -> "TrackerParams":
         img_size = tuple(int(v) for v in img_size)
         warped_size = tuple(int(v) for v in warped_size)
@@ -122,6 +131,7 @@ class TrackerParams:
             mppv=float(mppv),
             mpph=float(mpph),
             pipeline=pipeline,
+            filter_backend=filter_backend,
         )
 
 
@@ -218,6 +228,7 @@ def front_half(frame, params: TrackerParams, config: TrackerConfig):
         ksize_noise=f1.ksize_noise,
         C_noise=f1.C_noise,
         noise_thresh=f1.noise_thresh,
+        backend=params.filter_backend,
     )
     return r_chan, b_chan, binary1
 
@@ -281,6 +292,7 @@ def back_half(
                 ksize_noise=f2.ksize_noise,
                 C_noise=f2.C_noise,
                 noise_thresh=f2.noise_thresh,
+                backend=params.filter_backend,
             )
             return _run_attempt(
                 binary2, state, config, SECOND_ATTEMPT.search, params, ploty_validity
