@@ -57,22 +57,34 @@ def main():
     step = build_chunk_processor(config, with_overlay=True)
     state = make_initial_state(config, params.warped_size)
 
-    # Warm-up / compile. Fetch a scalar to force full completion (remote
-    # backends can report block_until_ready before execution finishes).
+    # Correctness/sanity pass (also compiles the single-chunk program).
     state, outs = step(state, chunk_d, params)
     _ = np.asarray(outs.valid)
 
-    # Steady state: chained chunks (state feeds forward, data stays on
-    # device); synchronize via a scalar fetch every chunk.
-    n_chunks = 10
-    times = []
-    for _ in range(n_chunks):
-        t0 = time.perf_counter()
-        state, outs = step(state, chunk_d, params)
-        _ = np.asarray(outs.valid)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    fps = T / dt
+    # Honest device throughput: chain chunks inside ONE jitted program with
+    # a data dependency (remote/tunneled backends make per-call host timing
+    # meaningless: block_until_ready can return early and scalar fetches
+    # pay the full tunnel round-trip). See utils/timing.py.
+    from lane_tracker_tpu.utils.timing import device_time_per_iter
+
+    def make_carry():
+        return (state, chunk_d)
+
+    def body(carry):
+        st, ch = carry
+        st, outs = step_fn(st, ch, params)
+        dep = (jnp.max(outs.overlay) & 1).astype(jnp.uint8)
+        return (st, ch ^ dep)
+
+    import jax.numpy as jnp
+
+    from lane_tracker_tpu.parallel.pipeline import chunk_process
+
+    def step_fn(st, ch, p):
+        return chunk_process(st, ch, p, config, True)
+
+    per_chunk, _rtt = device_time_per_iter(make_carry, body, n_iters=10)
+    fps = T / per_chunk
 
     # Sanity: the tracker must actually be tracking on these frames.
     valid_frac = float(np.asarray(outs.valid).mean())

@@ -35,16 +35,29 @@ from lane_tracker_tpu.tracker.config import ValidityConfig
 def fit_poly_mask(mask: jnp.ndarray) -> jnp.ndarray:
     """Fit x = A y^2 + B y + C over the True pixels of ``mask`` (H, W).
 
-    Returns (3,) float32 [A, B, C].  Undefined (NaNs possible) when the mask
-    has < 3 distinct rows — callers gate on detection flags.
+    Returns (3,) float32 [A, B, C].  Undefined when the mask has < 3
+    distinct rows — callers gate on detection flags.
     """
     H, W = mask.shape
     w = mask.astype(jnp.float32)
     xs = jnp.arange(W, dtype=jnp.float32)
-    ys = jnp.arange(H, dtype=jnp.float32)
-    # Row-wise reductions: count and x-sum per row (W-length matvec).
     row_n = w.sum(axis=1)  # (H,)
     row_sx = w @ xs  # (H,)
+    return fit_poly_rows(row_n, row_sx, W)
+
+
+def fit_poly_rows(row_n: jnp.ndarray, row_sx: jnp.ndarray, W: int) -> jnp.ndarray:
+    """Quadratic LSQ from per-row pixel counts and x-sums.
+
+    The weighted normal equations only involve row-level moments (every
+    pixel in a row shares its y), so (row_n, row_sx) fully determine the
+    fit — this is what lets the chunk pipeline's sequential back half run
+    on prefix-sum interval lookups (ops/integrals.py) instead of masks.
+    """
+    H = row_n.shape[0]
+    row_n = row_n.astype(jnp.float32)
+    row_sx = row_sx.astype(jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
     n = row_n.sum()
     n_safe = jnp.maximum(n, 1.0)
 

@@ -31,7 +31,7 @@ from lane_tracker_tpu.tracker.step import (
     StepOutput,
     TrackerParams,
     back_half,
-    front_half,
+    front_artifacts,
     render_frame,
 )
 from lane_tracker_tpu.tracker.state import TrackerState
@@ -49,14 +49,13 @@ def chunk_process(
     outputs is a StepOutput pytree with a leading T axis; ``overlay`` is
     (T, Hc, Wc, 3) when ``with_overlay`` else None.
     """
-    r, b, binary = jax.vmap(lambda f: front_half(f, params, config))(frames)
+    arts = jax.vmap(lambda f: front_artifacts(f, params, config))(frames)
 
-    def body(st, inputs):
-        binary_t, r_t, b_t = inputs
-        st, out, meta = back_half(st, binary_t, r_t, b_t, params, config)
+    def body(st, art):
+        st, out, meta = back_half(st, art, params, config)
         return st, (out, meta)
 
-    state, (outs, metas) = jax.lax.scan(body, state, (binary, r, b))
+    state, (outs, metas) = jax.lax.scan(body, state, arts)
     if with_overlay:
         overlays = jax.vmap(lambda f, m: render_frame(f, m, params))(frames, metas)
         outs = outs._replace(overlay=overlays)

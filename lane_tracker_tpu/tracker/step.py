@@ -35,15 +35,21 @@ from lane_tracker_tpu.calib.undistort import fused_undistort_warp_grid, undistor
 from lane_tracker_tpu.kernels.resample import ResampleGrid, bilinear_gather
 from lane_tracker_tpu.ops.color import rgb2lab_b_u8
 from lane_tracker_tpu.ops.filters import filter_lane_points_channels
+from lane_tracker_tpu.ops.integrals import RowPrefixes, build_row_prefixes, interval_moments
 from lane_tracker_tpu.ops.polyfit import (
     check_validity,
     curve_radius_m,
     eccentricity_m,
-    fit_poly_mask,
+    fit_poly_rows,
     ploty_grid,
     poly_points_meta,
 )
-from lane_tracker_tpu.ops.search import band_search, sliding_window_search
+from lane_tracker_tpu.ops.search import (
+    SwsPrecomp,
+    band_intervals,
+    sliding_window_intervals,
+    sws_precompute,
+)
 from lane_tracker_tpu.render.lane import lane_overlay, lane_region_mask
 from lane_tracker_tpu.tracker.config import SECOND_ATTEMPT, TrackerConfig
 from lane_tracker_tpu.tracker.state import TrackerState, init_state
@@ -179,27 +185,37 @@ def _warp_channels(frame, params: TrackerParams):
     return r, b
 
 
-def _run_attempt(binary, state: TrackerState, cfg: TrackerConfig, scfg, params,
-                 ploty_validity) -> AttemptResult:
+def _run_attempt(state: TrackerState, cfg: TrackerConfig, scfg, params,
+                 ploty_validity, pref: RowPrefixes, sws_pre: SwsPrecomp
+                 ) -> AttemptResult:
     """One search+fit+validate attempt (reference find_lane_points + fit +
-    check_validity, lane_tracker.py:795-874, 1064-1068)."""
+    check_validity, lane_tracker.py:795-874, 1064-1068).
+
+    Runs entirely on O(H) data: both searches emit per-row x-intervals and
+    the fit consumes per-row prefix-sum moments (ops/integrals.py) — the
+    exact pixel sets the reference gathers, without touching O(H*W) arrays
+    in the sequential path."""
+    W, H = params.warped_size
     use_band = state.last_detection <= cfg.n_reset
 
     def do_band(_):
-        return band_search(binary, state.last_left, state.last_right, scfg)
+        return band_intervals(state.last_left, state.last_right, scfg, H, W)
 
     def do_sws(_):
-        return sliding_window_search(binary, scfg)
+        return sliding_window_intervals(sws_pre, scfg, H, W)
 
-    res = jax.lax.cond(use_band, do_band, do_sws, None)
-    lc = fit_poly_mask(res.left_mask)
-    rc = fit_poly_mask(res.right_mask)
+    iv = jax.lax.cond(use_band, do_band, do_sws, None)
+    ln, lsx = interval_moments(pref, iv.left_lo, iv.left_hi, iv.left_valid)
+    rn, rsx = interval_moments(pref, iv.right_lo, iv.right_hi, iv.right_valid)
+    detected = (ln.sum() > 0) & (rn.sum() > 0)
+    lc = fit_poly_rows(ln, lsx, W)
+    rc = fit_poly_rows(rn, rsx, W)
     ml = poly_points_meta(lc, ploty_validity, params.warped_size)
     mr = poly_points_meta(rc, ploty_validity, params.warped_size)
     validity = check_validity(lc, rc, ml.n, mr.n, params.warped_size, cfg.validity)
     return AttemptResult(
-        detected=res.detected,
-        valid=res.detected & validity,
+        detected=detected,
+        valid=detected & validity,
         lc=lc,
         rc=rc,
         search_mode=jnp.where(use_band, jnp.int32(1), jnp.int32(0)),
@@ -233,6 +249,26 @@ def front_half(frame, params: TrackerParams, config: TrackerConfig):
     return r_chan, b_chan, binary1
 
 
+class FrontArtifacts(NamedTuple):
+    """Batched per-frame products of the stateless front half."""
+
+    r_chan: jnp.ndarray  # (H, W) u8 warped R channel
+    b_chan: jnp.ndarray  # (H, W) u8 warped LAB-B channel
+    pref: RowPrefixes  # prefix count/x-sum of the attempt-1 binary
+    sws: SwsPrecomp  # attempt-1 sliding-window tensors
+
+
+def front_artifacts(frame, params: TrackerParams, config: TrackerConfig):
+    """Everything the sequential back half needs, as O(H)-consumable data."""
+    r_chan, b_chan, binary1 = front_half(frame, params, config)
+    return FrontArtifacts(
+        r_chan=r_chan,
+        b_chan=b_chan,
+        pref=build_row_prefixes(binary1),
+        sws=sws_precompute(binary1, config.search),
+    )
+
+
 class RenderMeta(NamedTuple):
     """Per-frame inputs of the (stateless) overlay renderer."""
 
@@ -260,29 +296,31 @@ def render_frame(frame, meta: RenderMeta, params: TrackerParams):
 
 def back_half(
     state: TrackerState,
-    binary1: jnp.ndarray,
-    r_chan: jnp.ndarray,
-    b_chan: jnp.ndarray,
+    art: "FrontArtifacts",
     params: TrackerParams,
     config: TrackerConfig,
 ):
     """Sequential back half: search, fit, validate, state update.
 
+    Consumes FrontArtifacts (O(H) prefix/conv tensors); the only O(H*W)
+    work left here is the rare second-attempt re-filter inside lax.cond.
     Returns (new_state, StepOutput-without-overlay fields, RenderMeta).
     """
     W, H = params.warped_size
     ploty_validity = ploty_grid(params.warped_size, 1.0)
     ploty_render = ploty_grid(params.warped_size, config.search.partial)
 
-    a1 = _run_attempt(binary1, state, config, config.search, params, ploty_validity)
+    a1 = _run_attempt(
+        state, config, config.search, params, ploty_validity, art.pref, art.sws
+    )
 
     if config.n_tries >= 2 or config.n_tries == -1:
         f2 = SECOND_ATTEMPT.filter
 
         def second(_):
             binary2 = filter_lane_points_channels(
-                r_chan,
-                b_chan,
+                art.r_chan,
+                art.b_chan,
                 filter_type=f2.filter_type,
                 ksize_r=f2.ksize_r,
                 C_r=f2.C_r,
@@ -295,7 +333,13 @@ def back_half(
                 backend=params.filter_backend,
             )
             return _run_attempt(
-                binary2, state, config, SECOND_ATTEMPT.search, params, ploty_validity
+                state,
+                config,
+                SECOND_ATTEMPT.search,
+                params,
+                ploty_validity,
+                build_row_prefixes(binary2),
+                sws_precompute(binary2, SECOND_ATTEMPT.search),
             )
 
         a = jax.lax.cond(a1.valid, lambda _: a1, second, None)
@@ -422,8 +466,8 @@ def tracker_step(
     config: TrackerConfig,
 ):
     """Process one frame end to end. Returns (new_state, StepOutput)."""
-    r_chan, b_chan, binary1 = front_half(frame, params, config)
-    new_state, out, meta = back_half(state, binary1, r_chan, b_chan, params, config)
+    art = front_artifacts(frame, params, config)
+    new_state, out, meta = back_half(state, art, params, config)
     overlay = render_frame(frame, meta, params)
     return new_state, out._replace(overlay=overlay)
 
