@@ -33,7 +33,7 @@ import numpy as np
 from lane_tracker_tpu.calib.homography import perspective_grid
 from lane_tracker_tpu.calib.undistort import fused_undistort_warp_grid, undistort_grid
 from lane_tracker_tpu.kernels.resample import ResampleGrid, bilinear_gather
-from lane_tracker_tpu.ops.color import rgb2lab_b_u8
+from lane_tracker_tpu.ops.color import rgb2lab_b_fast, rgb2lab_b_u8
 from lane_tracker_tpu.ops.filters import filter_lane_points_channels
 from lane_tracker_tpu.ops.integrals import RowPrefixes, build_row_prefixes, interval_moments
 from lane_tracker_tpu.ops.polyfit import (
@@ -179,7 +179,7 @@ def _warp_channels(frame, params: TrackerParams):
         und = bilinear_gather(frame, params.grid_und)
         warped = bilinear_gather(und, params.grid_warp)
         return warped[..., 0], rgb2lab_b_u8(warped)
-    b_raw = rgb2lab_b_u8(frame)
+    b_raw = rgb2lab_b_fast(frame)
     r = bilinear_gather(frame[..., 0], params.grid_fused)
     b = bilinear_gather(b_raw, params.grid_fused)
     return r, b

@@ -48,3 +48,15 @@ def test_lab_shapes_and_dtype():
     assert b.shape == (8, 8) and b.dtype == np.uint8
     # black -> L=0, a=b=128
     assert out[0, 0, 0] == 0 and out[0, 0, 1] == 128 and out[0, 0, 2] == 128
+
+
+def test_lab_b_fast_close_to_exact(test_frame, rng):
+    """Arithmetic LAB (fast path) vs the bit-exact LUT pipeline."""
+    from lane_tracker_tpu.ops.color import rgb2lab_b_fast
+
+    for img in (test_frame, rng.integers(0, 256, (300, 400, 3), np.uint8)):
+        exact = np.asarray(rgb2lab_b_u8(img)).astype(np.int32)
+        fast = np.asarray(rgb2lab_b_fast(img)).astype(np.int32)
+        diff = np.abs(exact - fast)
+        assert diff.max() <= 1
+        assert (diff != 0).mean() < 1e-3
