@@ -33,6 +33,7 @@ import numpy as np
 from lane_tracker_tpu.calib.homography import perspective_grid
 from lane_tracker_tpu.calib.undistort import fused_undistort_warp_grid, undistort_grid
 from lane_tracker_tpu.kernels.resample import ResampleGrid, bilinear_gather
+from lane_tracker_tpu.kernels.resample_mxu import MxuWarp
 from lane_tracker_tpu.ops.color import rgb2lab_b_fast, rgb2lab_b_u8
 from lane_tracker_tpu.ops.filters import filter_lane_points_channels
 from lane_tracker_tpu.ops.integrals import RowPrefixes, build_row_prefixes, interval_moments
@@ -67,6 +68,7 @@ class TrackerParams:
     grid_und: ResampleGrid | None  # undistort (compat pipeline)
     grid_warp: ResampleGrid | None  # bird's-eye warp (compat pipeline)
     grid_fused: ResampleGrid | None  # fused undistort+warp (fast pipeline)
+    mxu_warp: MxuWarp | None  # matmul fused warp (mxu pipeline)
     unwarp_grid: ResampleGrid  # bird's-eye -> camera view (render)
     img_size: tuple  # (W, H) camera frames
     warped_size: tuple  # (W, H) bird's-eye
@@ -76,7 +78,13 @@ class TrackerParams:
     filter_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
     def tree_flatten(self):
-        children = (self.grid_und, self.grid_warp, self.grid_fused, self.unwarp_grid)
+        children = (
+            self.grid_und,
+            self.grid_warp,
+            self.grid_fused,
+            self.mxu_warp,
+            self.unwarp_grid,
+        )
         aux = (
             self.img_size,
             self.warped_size,
@@ -110,6 +118,7 @@ class TrackerParams:
         unwarp = ResampleGrid.from_quantized(
             perspective_grid(np.asarray(Minv), warped_size, img_size, mode="float")
         )
+        mxu = None
         if pipeline == "compat":
             g_und = ResampleGrid.from_quantized(
                 undistort_grid(cam_matrix, dist_coeffs, img_size)
@@ -118,19 +127,26 @@ class TrackerParams:
                 perspective_grid(np.asarray(M), img_size, warped_size, mode="float")
             )
             g_fused = None
-        elif pipeline == "fast":
+        elif pipeline in ("fast", "mxu"):
             g_und = g_warp = None
             g_fused = ResampleGrid.from_quantized(
                 fused_undistort_warp_grid(
                     cam_matrix, dist_coeffs, np.asarray(M), img_size, warped_size
                 )
             )
+            if pipeline == "mxu":
+                # One-time host build (~4 min at full geometry): the warp as
+                # two MXU interpolation-matrix products.
+                mxu = MxuWarp.build(
+                    cam_matrix, dist_coeffs, np.asarray(M), img_size, warped_size
+                )
         else:
-            raise ValueError("pipeline must be 'fast' or 'compat'")
+            raise ValueError("pipeline must be 'fast', 'mxu', or 'compat'")
         return cls(
             grid_und=g_und,
             grid_warp=g_warp,
             grid_fused=g_fused,
+            mxu_warp=mxu,
             unwarp_grid=unwarp,
             img_size=img_size,
             warped_size=warped_size,
@@ -180,6 +196,11 @@ def _warp_channels(frame, params: TrackerParams):
         warped = bilinear_gather(und, params.grid_warp)
         return warped[..., 0], rgb2lab_b_u8(warped)
     b_raw = rgb2lab_b_fast(frame)
+    if params.pipeline == "mxu":
+        # Warp both channels in one batched pair of matmuls (vmap over the
+        # chunk turns the per-frame call into 'xzy,tyx->tzx' einsums).
+        both = params.mxu_warp(jnp.stack([frame[..., 0], b_raw]))
+        return both[0], both[1]
     r = bilinear_gather(frame[..., 0], params.grid_fused)
     b = bilinear_gather(b_raw, params.grid_fused)
     return r, b
