@@ -42,14 +42,20 @@ def build_arg_parser():
     p.add_argument(
         "--pipeline",
         default="fast",
-        choices=["fast", "compat"],
-        help="fused single-gather warp (fast) or reference-exact chain",
+        choices=["fast", "mxu", "compat"],
+        help="fused single-gather warp (fast), matmul warp (mxu, ~5 GB "
+        "weights + minutes of one-time build), or reference-exact chain",
     )
     p.add_argument("--n-fail", type=int, default=8)
     p.add_argument("--n-reset", type=int, default=4)
     p.add_argument("--n-average", type=int, default=2)
     p.add_argument("--print-frame-count", action="store_true")
     p.add_argument("--metrics-json", default=None, help="write per-run metrics here")
+    p.add_argument(
+        "--per-frame-log",
+        default=None,
+        help="write a JSONL line per frame (mode, validity, radius, ecc)",
+    )
     p.add_argument("--profile-dir", default=None, help="capture a jax profiler trace")
     return p
 
@@ -92,6 +98,7 @@ def run(argv=None):
     state = make_initial_state(config, params.warped_size)
     meter = FpsMeter()
     total = valid_total = 0
+    frame_log = open(args.per_frame_log, "w") if args.per_frame_log else None
 
     with maybe_profile(args.profile_dir):
         for chunk, n_valid in src.chunks(args.chunk):
@@ -114,11 +121,34 @@ def run(argv=None):
                     if args.print_frame_count:
                         draw_text(f, f"Frame: {total + t}", (20, 70))
             sink.write(overlays, n_valid)
+            if frame_log is not None:
+                valids = np.asarray(outs.valid)
+                detected = np.asarray(outs.detected)
+                smodes = np.asarray(outs.search_mode)
+                attempts = np.asarray(outs.n_attempts)
+                for t in range(n_valid):
+                    frame_log.write(
+                        json.dumps(
+                            {
+                                "frame": total + t,
+                                "valid": bool(valids[t]),
+                                "detected": bool(detected[t]),
+                                "search_mode": "band" if smodes[t] else "sliding",
+                                "attempts": int(attempts[t]),
+                                "render": "lane" if modes[t] == 0 else "failure",
+                                "radius_m": float(radii[t]),
+                                "eccentricity_m": float(eccs[t]),
+                            }
+                        )
+                        + "\n"
+                    )
             total += n_valid
             valid_total += int(np.asarray(outs.valid)[:n_valid].sum())
 
     src.close()
     sink.close()
+    if frame_log is not None:
+        frame_log.close()
 
     ratio = valid_total / max(total, 1)
     print(f"Success ratio:  {ratio}")
