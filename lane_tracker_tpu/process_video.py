@@ -83,6 +83,10 @@ def run(argv=None):
         warp.mpph,
         pipeline=args.pipeline,
     )
+    if args.preset not in PRESETS:
+        raise SystemExit(
+            f"unknown preset '{args.preset}'; available: {', '.join(sorted(PRESETS))}"
+        )
     config = PRESETS[args.preset].replace(
         n_fail=args.n_fail, n_reset=args.n_reset, n_average=args.n_average
     )
