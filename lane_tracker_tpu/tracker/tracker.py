@@ -164,6 +164,44 @@ class LaneTracker:
             n_average=self.n_average,
         )
 
+    def _print_diagnostics(self, out, config):
+        """Reference-style diagnostics (lane_tracker.py:267, 441-447, 461,
+        596-627, 1069-1143): search mode, pixel outcome, and the validity
+        criterion values recomputed in closed form from the fitted
+        coefficients."""
+        mode = "band" if int(out.search_mode) else "sliding window"
+        print(f"Using {mode} search.")
+        print("Lane pixels found." if bool(out.detected) else "No lane pixels found.")
+        if bool(out.detected):
+            v = config.validity
+            W = self.warped_size[0] if v.y_eval_from_width else self.warped_size[1]
+            lc = np.asarray(out.left_coeffs, float)
+            rc = np.asarray(out.right_coeffs, float)
+            nmin = min(int(out.n_points_left), int(out.n_points_right))
+            y1, y2, y3 = W - 1, W - int(nmin * 0.35), W - int(nmin * 0.75)
+            xd = [abs(np.polyval(lc, y) - np.polyval(rc, y)) for y in (y1, y2, y3)]
+            d = lambda c, y: 2 * c[0] * y + c[1]
+            n1 = abs(d(lc, y1) - d(rc, y1))
+            n2 = abs(d(lc, y3) - d(rc, y3))
+            print(
+                "Distance: x1_diff == {:.2f}, x2_diff == {:.2f}, x3_diff == {:.2f} "
+                "(bounds [{}, {}], [{}, {}], [{}, {}])".format(
+                    xd[0], xd[1], xd[2],
+                    v.min_dist_y1, v.max_dist_y1, v.min_dist_y2,
+                    v.max_dist_y2, v.min_dist_y3, v.max_dist_y3,
+                )
+            )
+            print(
+                "Tangents: norm1 == {:.3f}, norm2 == {:.3f} (thresh == {})".format(
+                    n1, n2, v.tangent_thresh
+                )
+            )
+        if bool(out.valid):
+            attempt = "first" if int(out.n_attempts) == 1 else "second"
+            print(f"Success at {attempt} attempt!")
+        else:
+            print("No success after all attempts.")
+
     def process(
         self,
         img,
@@ -215,16 +253,7 @@ class LaneTracker:
             self.success += 1
 
         if diagnostics:
-            mode = "band" if int(out.search_mode) else "sliding window"
-            print(f"Using {mode} search.")
-            if bool(out.detected):
-                print("Lane pixels found.")
-            else:
-                print("No lane pixels found.")
-            if bool(out.valid):
-                print(f"Valid lane lines found (attempt {int(out.n_attempts)}).")
-            else:
-                print("No success after all attempts.")
+            self._print_diagnostics(out, config)
 
         annotated = np.asarray(out.overlay).copy()
         if int(out.render_mode) == 0:

@@ -152,3 +152,27 @@ def test_native_rgb24_fallback_matches_native(tmp_path):
     for (a, na), (b, nb) in zip(native.chunks(3), fallback.chunks(3)):
         assert na == nb
         np.testing.assert_array_equal(a, b)
+
+
+def test_cli_per_frame_log(tmp_path):
+    from lane_tracker_tpu.calib.io import save_calibration_npz
+    from lane_tracker_tpu.calib.synthetic import make_synthetic_calibration
+    from lane_tracker_tpu.process_video import run
+    import json
+
+    cam, warp = make_synthetic_calibration(img_size=(128, 96), warped_size=(96, 128))
+    save_calibration_npz(tmp_path / "calib.npz", cam, warp)
+    sink = NpzSink(tmp_path / "in.npz")
+    sink.write(_frames(3, H=96, W=128))
+    sink.close()
+    run(
+        [
+            str(tmp_path / "in.npz"), str(tmp_path / "out.npz"),
+            "--calibration", str(tmp_path / "calib.npz"),
+            "--preset", "committed", "--chunk", "3",
+            "--per-frame-log", str(tmp_path / "frames.jsonl"),
+        ]
+    )
+    lines = [json.loads(l) for l in (tmp_path / "frames.jsonl").read_text().splitlines()]
+    assert len(lines) == 3
+    assert {"frame", "valid", "search_mode", "radius_m"} <= set(lines[0])
