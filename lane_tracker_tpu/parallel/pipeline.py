@@ -57,7 +57,9 @@ def chunk_process(
 
     state, (outs, metas) = jax.lax.scan(body, state, arts)
     if with_overlay:
-        overlays = jax.vmap(lambda f, m: render_frame(f, m, params))(frames, metas)
+        overlays = jax.vmap(
+            lambda f, m: render_frame(f, m, params, config)
+        )(frames, metas)
         outs = outs._replace(overlay=overlays)
     return state, outs
 

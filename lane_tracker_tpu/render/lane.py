@@ -57,6 +57,77 @@ def lane_region_mask(
     return jnp.where(inside, jnp.uint8(255), jnp.uint8(0))
 
 
+def forward_bv_grid(M, img_size, warped_size):
+    """Host precompute: each camera pixel's bird's-eye coordinates.
+
+    cv2.warpPerspective(lane, Minv) samples the BV lane image at
+    Minv^-1 @ p = (M/scale) @ p for each camera pixel p — i.e. the forward
+    bird's-eye projection. Returns float32 (Hc, Wc) u and v arrays.
+    """
+    import numpy as np
+
+    Wc, Hc = int(img_size[0]), int(img_size[1])
+    Mf = np.asarray(M, dtype=np.float64)
+    xs = np.arange(Wc, dtype=np.float64)
+    ys = np.arange(Hc, dtype=np.float64)
+    X, Y = np.meshgrid(xs, ys)
+    w = Mf[2, 0] * X + Mf[2, 1] * Y + Mf[2, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_w = np.where(np.abs(w) > 1e-12, 1.0 / w, 0.0)
+    u = (Mf[0, 0] * X + Mf[0, 1] * Y + Mf[0, 2]) * inv_w
+    v = (Mf[1, 0] * X + Mf[1, 1] * Y + Mf[1, 2]) * inv_w
+    return u.astype(np.float32), v.astype(np.float32)
+
+
+def lane_overlay_direct(
+    frame: jnp.ndarray,
+    left_coeffs: jnp.ndarray,
+    right_coeffs: jnp.ndarray,
+    n_left,
+    n_right,
+    first_left,
+    first_right,
+    u_grid: jnp.ndarray,
+    v_grid: jnp.ndarray,
+    warped_size,
+    ploty_start: float,
+    ploty_step: float,
+    enable,
+) -> jnp.ndarray:
+    """Blend the lane region evaluated directly in camera space.
+
+    Instead of rasterizing a bird's-eye mask and unwarping it (a 0.9 ms
+    gather per frame), each camera pixel tests its precomputed BV
+    coordinates against the smoothed boundary polynomials — closed-form
+    elementwise math, zero gathers.  The re-anchored graph lookup
+    fitx[first + v-(H-n)] becomes polyval at the affine ploty position.
+    Edges get a 1-BV-pixel linear ramp approximating the bilinear
+    softening of the unwarped mask.
+    """
+    W, H = int(warped_size[0]), int(warped_size[1])
+    v = v_grid
+
+    def boundary(coeffs, n, first):
+        idx = first.astype(jnp.float32) + v - (H - n.astype(jnp.float32))
+        y = jnp.float32(ploty_start) + jnp.float32(ploty_step) * idx
+        c = coeffs.astype(jnp.float32)
+        x = jnp.trunc(c[0] * y * y + c[1] * y + c[2])
+        has = v >= (H - n.astype(jnp.float32))
+        return x, has
+
+    xl, lhas = boundary(left_coeffs, n_left, first_left)
+    xr, rhas = boundary(right_coeffs, n_right, first_right)
+    row_ok = lhas & rhas & (v <= H - 1) & (v >= 0)
+    # Coverage ramps over one BV pixel on each side (soft edge).
+    cov = jnp.clip(
+        jnp.minimum(u_grid - xl + 1.0, xr - u_grid + 1.0), 0.0, 1.0
+    ) * row_ok.astype(jnp.float32)
+    add = jnp.rint(cov * jnp.float32(0.3 * 255.0)).astype(jnp.int32)
+    add = jnp.where(enable, add, 0)
+    g = jnp.minimum(frame[..., 1].astype(jnp.int32) + add, 255).astype(jnp.uint8)
+    return jnp.stack([frame[..., 0], g, frame[..., 2]], axis=-1)
+
+
 def lane_overlay(
     frame: jnp.ndarray,
     lane_mask: jnp.ndarray,

@@ -51,7 +51,12 @@ from lane_tracker_tpu.ops.search import (
     sliding_window_intervals,
     sws_precompute,
 )
-from lane_tracker_tpu.render.lane import lane_overlay, lane_region_mask
+from lane_tracker_tpu.render.lane import (
+    forward_bv_grid,
+    lane_overlay,
+    lane_overlay_direct,
+    lane_region_mask,
+)
 from lane_tracker_tpu.tracker.config import SECOND_ATTEMPT, TrackerConfig
 from lane_tracker_tpu.tracker.state import TrackerState, init_state
 
@@ -69,7 +74,9 @@ class TrackerParams:
     grid_warp: ResampleGrid | None  # bird's-eye warp (compat pipeline)
     grid_fused: ResampleGrid | None  # fused undistort+warp (fast pipeline)
     mxu_warp: MxuWarp | None  # matmul fused warp (mxu pipeline)
-    unwarp_grid: ResampleGrid  # bird's-eye -> camera view (render)
+    unwarp_grid: ResampleGrid  # bird's-eye -> camera view (compat render)
+    fwd_u: jnp.ndarray  # (Hc, Wc) f32 — camera pixel's BV x (direct render)
+    fwd_v: jnp.ndarray  # (Hc, Wc) f32 — camera pixel's BV y
     img_size: tuple  # (W, H) camera frames
     warped_size: tuple  # (W, H) bird's-eye
     mppv: float
@@ -84,6 +91,8 @@ class TrackerParams:
             self.grid_fused,
             self.mxu_warp,
             self.unwarp_grid,
+            self.fwd_u,
+            self.fwd_v,
         )
         aux = (
             self.img_size,
@@ -118,6 +127,7 @@ class TrackerParams:
         unwarp = ResampleGrid.from_quantized(
             perspective_grid(np.asarray(Minv), warped_size, img_size, mode="float")
         )
+        fu, fv = forward_bv_grid(np.asarray(M), img_size, warped_size)
         mxu = None
         if pipeline == "compat":
             g_und = ResampleGrid.from_quantized(
@@ -148,6 +158,8 @@ class TrackerParams:
             grid_fused=g_fused,
             mxu_warp=mxu,
             unwarp_grid=unwarp,
+            fwd_u=jnp.asarray(fu),
+            fwd_v=jnp.asarray(fv),
             img_size=img_size,
             warped_size=warped_size,
             mppv=float(mppv),
@@ -295,6 +307,8 @@ class RenderMeta(NamedTuple):
 
     fitx_left: jnp.ndarray  # (H,) f32
     fitx_right: jnp.ndarray
+    coeffs_left: jnp.ndarray  # (3,) f32 — smoothed coefficients rendered
+    coeffs_right: jnp.ndarray
     n_left: jnp.ndarray
     n_right: jnp.ndarray
     first_left: jnp.ndarray
@@ -302,7 +316,30 @@ class RenderMeta(NamedTuple):
     draw: jnp.ndarray  # () bool
 
 
-def render_frame(frame, meta: RenderMeta, params: TrackerParams):
+def render_frame(frame, meta: RenderMeta, params: TrackerParams,
+                 config: TrackerConfig):
+    if params.pipeline != "compat":
+        # Direct camera-space evaluation: zero gathers (see render/lane.py).
+        W, H = params.warped_size
+        partial = config.search.partial
+        num = int(H * partial)
+        start = H * (1.0 - partial)
+        step = ((H - 1.0) - start) / (num - 1) if num > 1 else 1.0
+        return lane_overlay_direct(
+            frame,
+            meta.coeffs_left,
+            meta.coeffs_right,
+            meta.n_left,
+            meta.n_right,
+            meta.first_left,
+            meta.first_right,
+            params.fwd_u,
+            params.fwd_v,
+            params.warped_size,
+            start,
+            step,
+            meta.draw,
+        )
     lane_mask = lane_region_mask(
         params.warped_size,
         meta.fitx_left,
@@ -456,6 +493,8 @@ def back_half(
     meta = RenderMeta(
         fitx_left=rfitx_left,
         fitx_right=rfitx_right,
+        coeffs_left=avg_left,
+        coeffs_right=avg_right,
         n_left=rn_left,
         n_right=rn_right,
         first_left=rfirst_left,
@@ -489,7 +528,7 @@ def tracker_step(
     """Process one frame end to end. Returns (new_state, StepOutput)."""
     art = front_artifacts(frame, params, config)
     new_state, out, meta = back_half(state, art, params, config)
-    overlay = render_frame(frame, meta, params)
+    overlay = render_frame(frame, meta, params, config)
     return new_state, out._replace(overlay=overlay)
 
 
