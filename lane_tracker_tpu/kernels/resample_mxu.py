@@ -108,7 +108,6 @@ def build_mxu_warp_weights(
     # Horizontal weights from the exact fused grid coordinates.
     ux, uyp = perspective_source_coords(M, dst_size)
     gsx, _ = distort_points(cam_matrix, dist_coeffs, ux, uyp)
-    gsy_check = None  # (sy handled by pass 1)
     Hw = np.zeros((Ho, Ws, Wo), dtype=np.float32)
     for z in range(Ho):
         cx = gsx[z]
