@@ -113,6 +113,52 @@ def _pack_2x2(img: jnp.ndarray) -> jnp.ndarray:
     return x | (right << 8) | (down << 16) | (downright << 24)
 
 
+def bilinear_gather_pair(
+    a: jnp.ndarray, b: jnp.ndarray, grid: ResampleGrid
+) -> tuple:
+    """Resample TWO single-channel images through the same grid with half
+    the gathers: each uint32 word packs the horizontal byte pair of both
+    channels (a[y,x], a[y,x+1], b[y,x], b[y,x+1]); the window's lower row
+    is the packed word at index base + W (the packing window never touches
+    the last row, so base + W is always in range).
+
+    Exactly the taps and weights of two bilinear_gather calls.
+    """
+    H, W = a.shape
+    aw = a.astype(jnp.uint32)
+    bw = b.astype(jnp.uint32)
+    a_r = jnp.concatenate([aw[:, 1:], jnp.zeros((H, 1), jnp.uint32)], axis=1)
+    b_r = jnp.concatenate([bw[:, 1:], jnp.zeros((H, 1), jnp.uint32)], axis=1)
+    packed = (aw | (a_r << 8) | (bw << 16) | (b_r << 24)).reshape(-1)
+
+    top = jnp.take(packed, grid.base, axis=0)
+    bot = jnp.take(packed, grid.base + W, axis=0)
+
+    def unpack(word, shift):
+        return (word >> shift) & 0xFF
+
+    def combine(p00, p01, p10, p11):
+        if grid.w00.dtype == jnp.float32:
+            acc = (
+                p00.astype(jnp.float32) * grid.w00
+                + p01.astype(jnp.float32) * grid.w01
+                + p10.astype(jnp.float32) * grid.w10
+                + p11.astype(jnp.float32) * grid.w11
+            )
+            return jnp.clip(jnp.rint(acc), 0, 255).astype(jnp.uint8)
+        acc = (
+            p00.astype(jnp.int32) * grid.w00
+            + p01.astype(jnp.int32) * grid.w01
+            + p10.astype(jnp.int32) * grid.w10
+            + p11.astype(jnp.int32) * grid.w11
+        )
+        return jnp.clip((acc + _ROUND) >> COEF_BITS, 0, 255).astype(jnp.uint8)
+
+    out_a = combine(unpack(top, 0), unpack(top, 8), unpack(bot, 0), unpack(bot, 8))
+    out_b = combine(unpack(top, 16), unpack(top, 24), unpack(bot, 16), unpack(bot, 24))
+    return out_a, out_b
+
+
 def bilinear_gather(img: jnp.ndarray, grid: ResampleGrid) -> jnp.ndarray:
     """Resample ``img`` through a precomputed grid.
 

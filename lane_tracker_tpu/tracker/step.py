@@ -32,7 +32,11 @@ import numpy as np
 
 from lane_tracker_tpu.calib.homography import perspective_grid
 from lane_tracker_tpu.calib.undistort import fused_undistort_warp_grid, undistort_grid
-from lane_tracker_tpu.kernels.resample import ResampleGrid, bilinear_gather
+from lane_tracker_tpu.kernels.resample import (
+    ResampleGrid,
+    bilinear_gather,
+    bilinear_gather_pair,
+)
 from lane_tracker_tpu.kernels.resample_mxu import MxuWarp
 from lane_tracker_tpu.ops.color import rgb2lab_b_fast, rgb2lab_b_u8
 from lane_tracker_tpu.ops.filters import filter_lane_points_channels
@@ -213,9 +217,8 @@ def _warp_channels(frame, params: TrackerParams):
         # chunk turns the per-frame call into 'xzy,tyx->tzx' einsums).
         both = params.mxu_warp(jnp.stack([frame[..., 0], b_raw]))
         return both[0], both[1]
-    r = bilinear_gather(frame[..., 0], params.grid_fused)
-    b = bilinear_gather(b_raw, params.grid_fused)
-    return r, b
+    # One pair-packed gather stream warps both channels at half the cost.
+    return bilinear_gather_pair(frame[..., 0], b_raw, params.grid_fused)
 
 
 def _run_attempt(state: TrackerState, cfg: TrackerConfig, scfg, params,

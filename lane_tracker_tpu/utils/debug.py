@@ -23,8 +23,8 @@ def debug_mode(nan_checks: bool = True):
     """
     import jax
 
-    prev_nan = jax.config.read("jax_debug_nans")
-    prev_inf = jax.config.read("jax_debug_infs")
+    prev_nan = jax.config.jax_debug_nans
+    prev_inf = jax.config.jax_debug_infs
     try:
         if nan_checks:
             jax.config.update("jax_debug_nans", True)

@@ -164,3 +164,24 @@ def test_mxu_warp_matches_gather_on_synthetic():
     assert np.median(diff[cov]) <= 1
     assert diff[cov].mean() < 2.0
     assert (diff[cov] > 8).mean() < 0.05
+
+
+def test_bilinear_gather_pair_matches_single():
+    from lane_tracker_tpu.calib.synthetic import make_synthetic_calibration
+    from lane_tracker_tpu.calib.undistort import fused_undistort_warp_grid
+    from lane_tracker_tpu.kernels.resample import bilinear_gather_pair
+
+    cam, warp = make_synthetic_calibration(img_size=(128, 96), warped_size=(96, 128))
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, (96, 128), dtype=np.uint8)
+    b = rng.integers(0, 256, (96, 128), dtype=np.uint8)
+    for mode in ("float", "fixed"):
+        grid = ResampleGrid.from_quantized(
+            fused_undistort_warp_grid(
+                cam.cam_matrix, cam.dist_coeffs, warp.M,
+                warp.image_width_height, warp.warped_width_height, mode=mode,
+            )
+        )
+        oa, ob = bilinear_gather_pair(a, b, grid)
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(bilinear_gather(a, grid)))
+        np.testing.assert_array_equal(np.asarray(ob), np.asarray(bilinear_gather(b, grid)))
