@@ -91,3 +91,38 @@ def test_reference_warp_calibration_matches_shipped(calib):
     assert warp.mppv == pytest.approx(3.05 / 146)
     assert warp_ref.mpph == pytest.approx(3.6576 / 250)
     assert warp_ref.mppv == pytest.approx(3.048 / 100)
+
+
+def test_calibrate_cli_end_to_end(tmp_path):
+    """camera + warp CLI produces a loadable calibration matching the
+    shipped artifact's geometry."""
+    if not REF_CALIB_DIR.exists():
+        pytest.skip("reference chessboard images not available")
+    from lane_tracker_tpu.calibrate import main
+    from lane_tracker_tpu.calib.io import load_calibration_npz
+
+    rc = main(
+        [
+            "camera", str(REF_CALIB_DIR / "calibration*.jpg"),
+            "--nx", "9", "--ny", "6", "--out", str(tmp_path / "cam.npz"),
+        ]
+    )
+    assert rc == 0
+    rc = main(
+        [
+            "warp", str(tmp_path / "cam.npz"),
+            "--src", "242,695", "564,473", "721,473", "1064,695",
+            "--dst", "439,1100", "439,380", "643,380", "643,1100",
+            "--image-size", "1280x720", "--warped-size", "1080x1100",
+            "--patch-px", "196x146", "--out", str(tmp_path / "calib.npz"),
+        ]
+    )
+    assert rc == 0
+    cam, warp = load_calibration_npz(tmp_path / "calib.npz")
+    import numpy as np
+
+    from lane_tracker_tpu.calib.io import load_calibration_npz as _l
+
+    cam_ref, warp_ref = _l("assets/calibration.npz")
+    np.testing.assert_allclose(warp.M, warp_ref.M, atol=1e-8)
+    np.testing.assert_allclose(cam.cam_matrix[0, 0], cam_ref.cam_matrix[0, 0], rtol=0.02)
