@@ -23,23 +23,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def device_time_per_iter(make_carry, body, n_iters=50, repeats=3):
+def device_time_per_iter(make_carry, body, n_iters=50, repeats=3,
+                         invariant=None):
     """Median per-iteration device time of ``body``.
 
     Args:
         make_carry: () -> carry pytree (device inputs).
-        body: carry -> carry, the computation to time. Must have a data
-            dependency from input carry to output carry.
+        body: carry [, invariant] -> carry, the computation to time. Must
+            have a data dependency from input carry to output carry.
         n_iters: chained iterations inside the jitted program.
         repeats: timing repetitions (median taken).
+        invariant: optional pytree passed to ``body`` as a second argument
+            but NOT loop-carried — use for large read-only inputs (weights)
+            that would otherwise be double-buffered by the loop (and must
+            not be closed over: closures become compile-time constants,
+            which remote compilers reject beyond ~1 GB).
 
     Returns:
         (seconds_per_iter, roundtrip_seconds)
     """
 
-    def chained(carry, n):
+    def chained(carry, inv, n):
         def step(_, c):
-            return body(c)
+            return body(c) if invariant is None else body(c, inv)
 
         return jax.lax.fori_loop(0, n, step, carry)
 
@@ -47,19 +53,18 @@ def device_time_per_iter(make_carry, body, n_iters=50, repeats=3):
         leaves = jax.tree_util.tree_leaves(carry)
         return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
 
-    f_n = jax.jit(lambda c: probe(chained(c, n_iters)))
-    f_0 = jax.jit(probe)
+    f_n = jax.jit(lambda c, inv: probe(chained(c, inv, n_iters)))
+    f_0 = jax.jit(lambda c, inv: probe(c))
 
     carry = make_carry()
-    # Warm both programs (compile + first run).
-    float(f_n(carry))
-    float(f_0(carry))
+    float(f_n(carry, invariant))
+    float(f_0(carry, invariant))
 
     def timed(f):
         ts = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            float(f(carry))
+            float(f(carry, invariant))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
