@@ -210,3 +210,49 @@ def test_tracker_state_snapshot_roundtrip(calib, tmp_path):
     o2 = lt2.process(f2, **DEMO1_KW)
     np.testing.assert_array_equal(o1, o2)
     assert int(lt1.last_output.search_mode) == 1  # warm start -> band
+
+
+def test_tracker_multi_frame_trajectory_parity(ref_process_module, calib):
+    """Six-frame trajectory through repeated hard frames: the tracker must
+    follow the reference's exact wander (including the same validity flip)
+    under demo1 thresholds, patched into the reference via the independent
+    validity oracle."""
+    import types
+
+    from PIL import Image
+    from tests.conftest import ASSETS_DIR
+    from tests.test_polyfit import _validity_oracle
+
+    v = PRESETS["demo1"].validity
+    ref_lt = _make_ref_tracker(ref_process_module, calib)
+    _band_patch(ref_lt)
+
+    def check_validity(self, lc, rc, diagnostics=False):
+        ly, lx, ry, rx = self.get_poly_points(lc, rc)
+        self.valid_lane_lines = _validity_oracle(
+            lc, rc, len(ly), len(ry), (1080, 1100), v
+        )
+
+    ref_lt.check_validity = types.MethodType(check_validity, ref_lt)
+    tpu_lt = _make_tpu_tracker(calib, validity=v, pipeline="compat")
+
+    f911 = np.asarray(Image.open(ASSETS_DIR / "frame911.jpg").convert("RGB"))
+    f971 = np.asarray(Image.open(ASSETS_DIR / "frame971.jpg").convert("RGB"))
+    yy = np.arange(1100, dtype=float)
+    frames = [f911] + [f971] * 5
+    for i, frame in enumerate(frames):
+        with _numpy_2017_shims():
+            ref_lt.process(np.copy(frame), **DEMO1_KW)
+        tpu_lt.process(frame, **DEMO1_KW)
+        out = tpu_lt.last_output
+        assert bool(out.valid) == bool(ref_lt.valid_lane_lines), f"frame {i}"
+        if bool(out.valid):
+            for mine, ref in (
+                (np.asarray(out.left_coeffs, float), ref_lt.last_left_coeffs),
+                (np.asarray(out.right_coeffs, float), ref_lt.last_right_coeffs),
+            ):
+                rmse = np.sqrt(
+                    np.mean((np.polyval(mine, yy) - np.polyval(ref, yy)) ** 2)
+                )
+                assert rmse < 0.5, f"frame {i}: curve RMSE {rmse}"
+    assert tpu_lt.get_success_ratio()[1:] == ref_lt.get_success_ratio()[1:]
