@@ -43,13 +43,23 @@ def chunk_process(
     params: TrackerParams,
     config: TrackerConfig,
     with_overlay: bool = True,
+    hoist_second_attempt: bool = False,
 ):
     """Process a (T, Hc, Wc, 3) uint8 chunk. Returns (state, outputs).
 
     outputs is a StepOutput pytree with a leading T axis; ``overlay`` is
     (T, Hc, Wc, 3) when ``with_overlay`` else None.
+
+    ``hoist_second_attempt`` moves the fallback attempt's O(H*W) filter
+    into the batched front half (always executed).  Keep it False for
+    single-stream serving (the scanned ``lax.cond`` only pays for the
+    re-filter on invalid frames); set it True when this chunk pipeline is
+    itself vmapped over streams, where the cond would otherwise become an
+    executed-both-sides select *in the sequential scan*.
     """
-    arts = jax.vmap(lambda f: front_artifacts(f, params, config))(frames)
+    arts = jax.vmap(
+        lambda f: front_artifacts(f, params, config, hoist_second_attempt)
+    )(frames)
 
     def body(st, art):
         st, out, meta = back_half(st, art, params, config)
@@ -65,11 +75,17 @@ def chunk_process(
 
 
 @functools.lru_cache(maxsize=16)
-def build_chunk_processor(config: TrackerConfig, with_overlay: bool = True):
+def build_chunk_processor(
+    config: TrackerConfig,
+    with_overlay: bool = True,
+    hoist_second_attempt: bool = False,
+):
     """jit-compiled chunk processor for a static config."""
 
     @jax.jit
     def fn(state, frames, params):
-        return chunk_process(state, frames, params, config, with_overlay)
+        return chunk_process(
+            state, frames, params, config, with_overlay, hoist_second_attempt
+        )
 
     return fn

@@ -39,8 +39,13 @@ def build_fleet_processor(config: TrackerConfig, with_overlay: bool = False):
     """
 
     def fleet(states, frames, params):
+        # hoist_second_attempt: under vmap the scanned second-attempt
+        # lax.cond would execute both sides per frame *inside the scan*;
+        # hoisting moves that filter into the batched front half instead.
         states, outs = jax.vmap(
-            lambda st, fr: chunk_process(st, fr, params, config, with_overlay)
+            lambda st, fr: chunk_process(
+                st, fr, params, config, with_overlay, hoist_second_attempt=True
+            )
         )(states, frames)
         metrics = {
             "frames": jnp.asarray(outs.valid.size, jnp.int32),

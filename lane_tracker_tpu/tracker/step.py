@@ -292,16 +292,58 @@ class FrontArtifacts(NamedTuple):
     b_chan: jnp.ndarray  # (H, W) u8 warped LAB-B channel
     pref: RowPrefixes  # prefix count/x-sum of the attempt-1 binary
     sws: SwsPrecomp  # attempt-1 sliding-window tensors
+    pref2: RowPrefixes | None = None  # hoisted attempt-2 binary prefixes
+    sws2: SwsPrecomp | None = None  # hoisted attempt-2 sliding-window tensors
 
 
-def front_artifacts(frame, params: TrackerParams, config: TrackerConfig):
-    """Everything the sequential back half needs, as O(H)-consumable data."""
+def _second_attempt_binary(r_chan, b_chan, params: TrackerParams):
+    """The hardcoded second-attempt filter (lane_tracker.py:1081-1099)."""
+    f2 = SECOND_ATTEMPT.filter
+    return filter_lane_points_channels(
+        r_chan,
+        b_chan,
+        filter_type=f2.filter_type,
+        ksize_r=f2.ksize_r,
+        C_r=f2.C_r,
+        ksize_b=f2.ksize_b,
+        C_b=f2.C_b,
+        mask_noise=f2.mask_noise,
+        ksize_noise=f2.ksize_noise,
+        C_noise=f2.C_noise,
+        noise_thresh=f2.noise_thresh,
+        backend=params.filter_backend,
+    )
+
+
+def front_artifacts(
+    frame,
+    params: TrackerParams,
+    config: TrackerConfig,
+    hoist_second_attempt: bool = False,
+):
+    """Everything the sequential back half needs, as O(H)-consumable data.
+
+    With ``hoist_second_attempt`` the fallback attempt's filter + precompute
+    (the only O(H*W) work of the second attempt) also runs here,
+    unconditionally, so the sequential back half contains NO conditional
+    O(H*W) work.  That is the batched-fleet configuration (SURVEY §7(e)):
+    under vmap a ``lax.cond`` becomes an executed-both-sides select, so the
+    conditional re-filter would otherwise run for every frame anyway —
+    serially, after the batched front half.
+    """
     r_chan, b_chan, binary1 = front_half(frame, params, config)
+    pref2 = sws2 = None
+    if hoist_second_attempt and (config.n_tries >= 2 or config.n_tries == -1):
+        binary2 = _second_attempt_binary(r_chan, b_chan, params)
+        pref2 = build_row_prefixes(binary2)
+        sws2 = sws_precompute(binary2, SECOND_ATTEMPT.search)
     return FrontArtifacts(
         r_chan=r_chan,
         b_chan=b_chan,
         pref=build_row_prefixes(binary1),
         sws=sws_precompute(binary1, config.search),
+        pref2=pref2,
+        sws2=sws2,
     )
 
 
@@ -376,34 +418,37 @@ def back_half(
     )
 
     if config.n_tries >= 2 or config.n_tries == -1:
-        f2 = SECOND_ATTEMPT.filter
-
-        def second(_):
-            binary2 = filter_lane_points_channels(
-                art.r_chan,
-                art.b_chan,
-                filter_type=f2.filter_type,
-                ksize_r=f2.ksize_r,
-                C_r=f2.C_r,
-                ksize_b=f2.ksize_b,
-                C_b=f2.C_b,
-                mask_noise=f2.mask_noise,
-                ksize_noise=f2.ksize_noise,
-                C_noise=f2.C_noise,
-                noise_thresh=f2.noise_thresh,
-                backend=params.filter_backend,
-            )
-            return _run_attempt(
+        if art.pref2 is not None:
+            # Hoisted mode: the attempt-2 filter ran batched in the front
+            # half; the remaining attempt-2 work is O(H), so run it
+            # unconditionally and select (vmap-friendly — no cond).
+            a2 = _run_attempt(
                 state,
                 config,
                 SECOND_ATTEMPT.search,
                 params,
                 ploty_validity,
-                build_row_prefixes(binary2),
-                sws_precompute(binary2, SECOND_ATTEMPT.search),
+                art.pref2,
+                art.sws2,
             )
+            a = jax.tree_util.tree_map(
+                lambda x, y: jnp.where(a1.valid, x, y), a1, a2
+            )
+        else:
 
-        a = jax.lax.cond(a1.valid, lambda _: a1, second, None)
+            def second(_):
+                binary2 = _second_attempt_binary(art.r_chan, art.b_chan, params)
+                return _run_attempt(
+                    state,
+                    config,
+                    SECOND_ATTEMPT.search,
+                    params,
+                    ploty_validity,
+                    build_row_prefixes(binary2),
+                    sws_precompute(binary2, SECOND_ATTEMPT.search),
+                )
+
+            a = jax.lax.cond(a1.valid, lambda _: a1, second, None)
         n_attempts = jnp.where(a1.valid, jnp.int32(1), jnp.int32(2))
     else:
         a = a1

@@ -76,6 +76,32 @@ def test_chunk_process_equals_sequential_steps(tiny):
         assert int(seq_outs[t].search_mode) == int(outs.search_mode[t])
 
 
+def test_hoisted_second_attempt_equals_cond(tiny):
+    """hoist_second_attempt=True (fleet mode: unconditional batched attempt-2
+    filter + O(H) select) must be bit-identical to the scanned lax.cond
+    path, including on frames that actually take the second attempt."""
+    params, config = tiny
+    config = config.replace(n_tries=2)
+    frames = _lane_frames(6)
+    frames[2] = 0  # no pixels -> attempt 1 fails -> second attempt runs
+    frames[3] = 0
+    state0 = make_initial_state(config, params.warped_size)
+
+    st_a, out_a = jax.jit(
+        lambda s, f: chunk_process(s, f, params, config, True,
+                                   hoist_second_attempt=False)
+    )(state0, frames)
+    st_b, out_b = jax.jit(
+        lambda s, f: chunk_process(s, f, params, config, True,
+                                   hoist_second_attempt=True)
+    )(state0, frames)
+
+    assert (np.asarray(out_a.n_attempts) == 2).any()  # path exercised
+    for la, lb in zip(jax.tree_util.tree_leaves((st_a, out_a)),
+                      jax.tree_util.tree_leaves((st_b, out_b))):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_fleet_runs_sharded_over_8_devices(tiny):
     params, config = tiny
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
