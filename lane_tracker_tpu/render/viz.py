@@ -70,6 +70,13 @@ def search_visualization(tracker, frame, config, out):
     )
     output = np.repeat(binary[..., None], 3, axis=2)
 
+    if not bool(out.detected):
+        # No lane pixels anywhere: the reference visualizes the bare binary
+        # image of the last attempt instead of a search overlay
+        # (lane_tracker.py:1130-1137; returned 3-channel here because every
+        # viz output of this module is RGB).
+        return output
+
     if int(out.search_mode) == 0:  # sliding window
         res = sliding_window_search(binary, scfg)
         wh, ww = scfg.window_height, scfg.window_width

@@ -101,3 +101,27 @@ def test_visualize_search_paths(calib):
     annotated, viz = lt.process(frame, visualize_search=True, **kw)
     assert int(lt.last_output.search_mode) == 1  # warm start -> band
     assert viz.shape == (1100, 1080, 3)
+
+
+def test_visualize_search_bare_binary_when_nothing_detected(calib):
+    """With no lane pixels anywhere the viz is the bare binary image, not a
+    search overlay (lane_tracker.py:1130-1137)."""
+    from lane_tracker_tpu.tracker.config import PRESETS
+    from lane_tracker_tpu.tracker.tracker import LaneTracker
+
+    cam, warp = calib
+    lt = LaneTracker(
+        warp.image_width_height,
+        warp.warped_width_height,
+        cam.cam_matrix,
+        cam.dist_coeffs,
+        (warp.M, warp.Minv),
+        (warp.mppv, warp.mpph),
+        validity=PRESETS["demo1"].validity,
+    )
+    frame = np.zeros((720, 1280, 3), np.uint8)  # black: zero detections
+    annotated, viz = lt.process(frame, visualize_search=True)
+    assert not bool(lt.last_output.detected)
+    assert viz.shape == (1100, 1080, 3)
+    # Bare binary: all three channels identical, no green window/band tint.
+    assert (viz[..., 0] == viz[..., 1]).all() and (viz[..., 1] == viz[..., 2]).all()
