@@ -278,8 +278,6 @@ class LaneTracker:
                 return annotated, viz
             from lane_tracker_tpu.render.split import triple_split_view
             from lane_tracker_tpu.kernels.resample import bilinear_gather
-            from lane_tracker_tpu.calib.homography import perspective_grid
-            from lane_tracker_tpu.kernels.resample import ResampleGrid
 
             # The reference always pre-warps the raw frame for the split
             # view (lane_tracker.py:1035).
@@ -290,3 +288,66 @@ class LaneTracker:
             warped = np.asarray(bilinear_gather(frame, warp_grid))
             return triple_split_view([annotated, warped, viz])
         return annotated
+
+    def process_chunk(
+        self,
+        frames,
+        with_overlay=True,
+        **kwargs,
+    ):
+        """Throughput API: process a (T, H, W, 3) uint8 chunk of consecutive
+        frames in one device program.
+
+        Same keyword surface and semantics as :meth:`process` (minus the
+        per-frame debug flags ``visualize_search``/``split_view``/
+        ``diagnostics``), but the whole chunk runs as one jitted program —
+        batched front half, scanned state machine, batched render — so a
+        chunk costs ONE host->device round trip instead of T.  On the
+        tunneled TPU backend each ``process`` call pays a ~30-50 ms RTT to
+        fetch its scalars; this is the API to serve through (see README
+        "Choosing an API").
+
+        Returns the chunk's ``StepOutput`` pytree as host arrays with a
+        leading T axis (``overlay`` is None when ``with_overlay=False``).
+        Text annotations are NOT burned in; render them from the returned
+        radius/ecc/render_mode arrays if needed (process_video.py does).
+        """
+        import jax
+
+        from lane_tracker_tpu.parallel.pipeline import build_chunk_processor
+
+        sig = dict(
+            ksize_r=15, C_r=8, ksize_b=35, C_b=5, filter_type="bilateral",
+            mask_noise=False, noise_thresh=140, ksize_noise=65, C_noise=10,
+            window_width=30, window_height=40, search_range=20, mu=0.1,
+            no_success_limit=8, start_slice=0.25, ignore_sides=360,
+            ignore_bottom=30, bandwidth=25, partial=1.0, n_tries=2,
+        )
+        unknown = set(kwargs) - set(sig)
+        if unknown:
+            raise TypeError(f"unknown process_chunk kwargs: {sorted(unknown)}")
+        sig.update(kwargs)
+        config = self._config_from_kwargs(
+            sig["ksize_r"], sig["C_r"], sig["ksize_b"], sig["C_b"],
+            sig["filter_type"], sig["mask_noise"], sig["noise_thresh"],
+            sig["ksize_noise"], sig["C_noise"], sig["window_width"],
+            sig["window_height"], sig["search_range"], sig["mu"],
+            sig["no_success_limit"], sig["start_slice"], sig["ignore_sides"],
+            sig["ignore_bottom"], sig["bandwidth"], sig["partial"],
+            sig["n_tries"],
+        )
+        self._ensure_state(config)
+        fn = build_chunk_processor(config, with_overlay=bool(with_overlay))
+        frames = np.ascontiguousarray(np.asarray(frames, dtype=np.uint8))
+        if frames.ndim != 4:
+            raise ValueError("process_chunk expects a (T, H, W, 3) batch")
+        self._prev_state = self._state
+        self._state, outs = fn(self._state, frames, self.params)
+        valid = np.asarray(outs.valid)
+        self.counter += int(valid.shape[0])
+        self.success += int(valid.sum())
+        self.last_output = jax.tree_util.tree_map(
+            lambda x: x[-1] if x is not None else None, outs,
+            is_leaf=lambda x: x is None,
+        )
+        return outs

@@ -256,3 +256,49 @@ def test_tracker_multi_frame_trajectory_parity(ref_process_module, calib):
                 )
                 assert rmse < 0.5, f"frame {i}: curve RMSE {rmse}"
     assert tpu_lt.get_success_ratio()[1:] == ref_lt.get_success_ratio()[1:]
+
+
+def test_process_chunk_matches_process(calib):
+    """The batched throughput API (process_chunk) produces the same
+    per-frame results and state trajectory as the per-frame process()
+    loop with identical kwargs."""
+    from PIL import Image
+
+    from tests.conftest import ASSETS_DIR
+
+    kw = dict(mask_noise=True, noise_thresh=140, no_success_limit=50,
+              bandwidth=30, ksize_r=15)
+    lt_seq = _make_tpu_tracker(calib, validity=PRESETS["demo1"].validity,
+                               pipeline="fast")
+    lt_chunk = _make_tpu_tracker(calib, validity=PRESETS["demo1"].validity,
+                                 pipeline="fast")
+
+    f911 = np.asarray(Image.open(ASSETS_DIR / "frame911.jpg").convert("RGB"))
+    f971 = np.asarray(Image.open(ASSETS_DIR / "frame971.jpg").convert("RGB"))
+    frames = np.stack([f911, f971, f971, np.zeros_like(f911), f971, f911])
+
+    seq_valid, seq_radius, seq_ecc = [], [], []
+    for f in frames:
+        lt_seq.process(f, **kw)
+        out = lt_seq.last_output
+        seq_valid.append(bool(out.valid))
+        seq_radius.append(float(out.radius))
+        seq_ecc.append(float(out.ecc))
+
+    outs = lt_chunk.process_chunk(frames[:3], **kw)
+    outs2 = lt_chunk.process_chunk(frames[3:], **kw)  # state carries over
+    valid = np.concatenate([np.asarray(outs.valid), np.asarray(outs2.valid)])
+    radius = np.concatenate([np.asarray(outs.radius), np.asarray(outs2.radius)])
+    ecc = np.concatenate([np.asarray(outs.ecc), np.asarray(outs2.ecc)])
+
+    assert valid.tolist() == seq_valid
+    np.testing.assert_allclose(radius, seq_radius, rtol=1e-6)
+    np.testing.assert_allclose(ecc, seq_ecc, rtol=1e-5, atol=1e-6)
+    assert lt_chunk.get_success_ratio() == lt_seq.get_success_ratio()
+    # Overlays match the per-frame path bit-exactly.
+    ov_first = np.asarray(outs.overlay[0])
+    lt_ref = _make_tpu_tracker(calib, validity=PRESETS["demo1"].validity,
+                               pipeline="fast")
+    lt_ref.process(frames[0], **kw)
+    np.testing.assert_array_equal(
+        ov_first, np.asarray(lt_ref.last_output.overlay))
