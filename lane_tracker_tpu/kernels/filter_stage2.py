@@ -1,0 +1,493 @@
+"""Pallas TPU stage kernels for the lane-pixel filter chain, v2.
+
+The filter stage (reference: lane_tracker.py:183-240) dominates the frame
+budget: measured 1.68 ms of the 2.52 ms end-to-end on v5e (tophats 0.83,
+bilateral thresholds 0.82, open 0.07) because every XLA elementwise op
+round-trips HBM.  These kernels run each stage VMEM-resident instead.
+
+Design notes (probe-driven, scripts/mosaic_probe*.py):
+
+* Mosaic here supports i32/f32 vector ops only — u8/i16 minimum and
+  bf16 rolls fail to compile.  All compute is i32; u8 staging in/out.
+* Shifted reads are STATIC SLICES of margin-padded VMEM scratch buffers,
+  not ``pltpu.roll``: rolls pay 2-4 ops for wrap masking; slices with
+  sublane (row) offsets are nearly free and lane (column) offsets pay one
+  in-register rotate.  Neutral values live in the margins, so no
+  per-shift masking anywhere.
+* Each SE extent group folds into ONE fused statement combining its
+  horizontal window (two lane-offset slices of the pow2 aggregate) and
+  its vertical dy span (sublane offsets) — Mosaic fuses the whole
+  min-tree into a single VMEM sweep.
+* Row-blocked grid (a whole i32 frame plus temporaries exceeds VMEM):
+  each program DMAs BLOCK + 2*halo input rows, computes in VMEM, writes
+  BLOCK rows.  Liveness stays at 4 i32 buffers by restarting the pow2
+  ping-pong per phase and accumulating in place.
+
+Semantics are identical to the XLA ops in ops/morphology.py /
+ops/threshold.py (themselves bit-exact vs OpenCV); parity is pinned in
+interpret mode and on hardware by tests/test_filter_stage2.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lane_tracker_tpu.ops.morphology import ellipse_runs
+
+LANE = 128
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _segments(dys):
+    segs = []
+    start = prev = dys[0]
+    for d in dys[1:]:
+        if d == prev + 1:
+            prev = d
+        else:
+            segs.append((start, prev))
+            start = prev = d
+    segs.append((start, prev))
+    return segs
+
+
+@functools.lru_cache(maxsize=None)
+def extent_groups(ksize: int):
+    """OpenCV-ellipse SE rows grouped by horizontal extent.
+
+    Returns ((lo, hi), dy_segments) pairs ordered by increasing run
+    length, so the pow2 aggregate can grow monotonically while extents
+    are consumed.
+    """
+    by_extent = {}
+    for dy, ext in ellipse_runs(ksize):
+        by_extent.setdefault(ext, []).append(dy)
+    groups = []
+    for ext in sorted(by_extent, key=lambda e: e[1] - e[0]):
+        groups.append((ext, tuple(_segments(sorted(by_extent[ext])))))
+    return tuple(groups)
+
+
+def _read_of(buf):
+    def read(rs, cs):
+        return buf[rs, cs]
+
+    return read
+
+
+def _fill_margins(buf, value, mv, mx, h, w):
+    R, C = buf.shape
+    v = jnp.int32(value)
+    buf[0:mv, :] = jnp.full((mv, C), v, buf.dtype)
+    buf[mv + h:R, :] = jnp.full((R - mv - h, C), v, buf.dtype)
+    buf[:, 0:mx] = jnp.full((R, mx), v, buf.dtype)
+    buf[:, mx + w:C] = jnp.full((R, C - mx - w), v, buf.dtype)
+
+
+def _morph(base_read, work0, work1, acc, ksize, op, neutral, mv, mx, h, w):
+    """Erode/dilate by OpenCV's elliptical SE into ``acc``'s interior.
+
+    base_read(rows, cols) reads the margin-padded source (margins filled
+    with the op's neutral).  work0/work1 ping-pong the horizontal pow2
+    aggregate g_p(y, x) = op over x..x+p-1; extents are consumed in
+    increasing-length order so only the current level is live.  acc's
+    interior receives the final result; its margins are NOT touched.
+
+    Aggregates carry REAL values at margin positions (a window anchored
+    left of the image still covers image columns), so growth writes an
+    EXPANDED region: all rows, columns [ex, C - ex) with the inset ex
+    sized so the largest growth shift stays in bounds.  Window reads at
+    |dx| <= ksize//2 then always land on computed aggregate values, since
+    mx - ksize//2 >= ex by construction.
+    """
+    R, C = work0.shape
+    r = ksize // 2
+    max_shift = 1 << max((2 * r + 1).bit_length() - 2, 0)
+    ex = mx - r - 1
+    assert ex >= max_shift, (ksize, mx)
+    we = C - 2 * ex  # expanded width
+
+    def sl(read, dy, dx):
+        return read(slice(mv + dy, mv + dy + h), slice(mx + dx, mx + dx + w))
+
+    def sle(read, dx):
+        return read(slice(0, R), slice(ex + dx, ex + dx + we))
+
+    _fill_margins(work0, neutral, mv, mx, h, w)
+    _fill_margins(work1, neutral, mv, mx, h, w)
+
+    p = 1
+    reads = base_read
+    ping = [work0, work1]
+    pidx = 0
+    acc_started = False
+    for (lo, hi), segs in extent_groups(ksize):
+        length = hi - lo + 1
+        target = 1 << (length.bit_length() - 1)
+        while p < target:
+            dst = ping[pidx]
+            dst[0:R, ex:ex + we] = op(sle(reads, 0), sle(reads, p))
+            reads = _read_of(dst)
+            pidx ^= 1
+            p *= 2
+        # Window over [lo, hi] = op(g_p at lo, g_p at hi - p + 1); all dy
+        # spans of the extent group fold into this one fused statement.
+        terms = []
+        for slo, shi in segs:
+            for dy in range(slo, shi + 1):
+                terms.append(sl(reads, dy, lo))
+                if p != length:
+                    terms.append(sl(reads, dy, hi - p + 1))
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = op(expr, t)
+        if acc_started:
+            acc[mv:mv + h, mx:mx + w] = op(acc[mv:mv + h, mx:mx + w], expr)
+        else:
+            acc[mv:mv + h, mx:mx + w] = expr
+            acc_started = True
+
+
+def _tophat_kernel(
+    in_hbm, out_ref, stage, w0, w1, acc, dacc, sem,
+    *, ksize, block, halo, mv, mx, h_img, w_img, cols,
+):
+    i = pl.program_id(0)
+    in_rows = stage.shape[0] - 2 * mv
+    h, w = in_rows, w_img
+
+    cp = pltpu.make_async_copy(
+        in_hbm.at[pl.ds(i * block, in_rows), :],
+        stage.at[mv:mv + in_rows, :],
+        sem,
+    )
+    cp.start()
+    # Staging row margins: erode neutral (host pads columns and
+    # out-of-image rows with 255 already).
+    stage[0:mv, :] = jnp.full((mv, cols), 255, jnp.uint8)
+    stage[mv + in_rows:, :] = jnp.full((mv, cols), 255, jnp.uint8)
+    cp.wait()
+
+    def base_read(rs, cs):
+        return stage[rs, cs].astype(jnp.int32)
+
+    # ---- erode ----
+    _morph(base_read, w0, w1, acc, ksize, jnp.minimum, 255, mv, mx, h, w)
+
+    # The opening's dilate reads the eroded image with BORDER_CONSTANT 0
+    # (dilate neutral) outside the image — zero acc's margins and
+    # out-of-image strips in one masked sweep.
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    grow = rows_i - mv + i * block - halo
+    in_img = (
+        (grow >= 0) & (grow < h_img) & (cols_i >= mx) & (cols_i < mx + w_img)
+    )
+    acc[:, :] = jnp.where(in_img, acc[:, :], 0)
+
+    # ---- dilate of the eroded image ----
+    _morph(_read_of(acc), w0, w1, dacc, ksize, jnp.maximum, 0, mv, mx, h, w)
+
+    # ---- tophat = x - opened; emit this block's output rows ----
+    s = mv + halo
+    diff = stage[s:s + block, :].astype(jnp.int32) - dacc[s:s + block, :]
+    out_ref[:, :] = diff.astype(jnp.uint8)
+
+
+def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
+                   interpret: bool = False) -> jnp.ndarray:
+    """White tophat with OpenCV's ksize x ksize elliptical SE.
+
+    Bit-exact with ops.morphology.tophat_ellipse (uint8 in/out), computed
+    VMEM-resident per row block.
+    """
+    H, W = img.shape
+    halo = 2 * (ksize // 2)
+    if block is None:
+        block = _round_up(-(-H // 3), 8)
+    grid = -(-H // block)
+    mv = _round_up(ksize // 2 + 1, 8)
+    mx = 64
+    cols = _round_up(W + 2 * mx, LANE)
+    in_rows = _round_up(block + 2 * halo, 8)
+    rows = in_rows + 2 * mv
+
+    # Host-side pad: 255 (erode neutral) everywhere outside the image.
+    hbuf = jnp.full((grid * block + (in_rows - block), cols), 255, jnp.uint8)
+    hbuf = jax.lax.dynamic_update_slice(hbuf, img, (halo, mx))
+
+    kernel = functools.partial(
+        _tophat_kernel,
+        ksize=int(ksize), block=int(block), halo=int(halo),
+        mv=int(mv), mx=int(mx), h_img=int(H), w_img=int(W), cols=int(cols),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=jax.ShapeDtypeStruct((grid * block, cols), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((block, cols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, cols), jnp.uint8),   # stage
+            pltpu.VMEM((rows, cols), jnp.int32),   # w0
+            pltpu.VMEM((rows, cols), jnp.int32),   # w1
+            pltpu.VMEM((rows, cols), jnp.int32),   # acc (eroded)
+            pltpu.VMEM((rows, cols), jnp.int32),   # dacc (opened)
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(hbuf)
+    return out[:H, mx:mx + W]
+
+
+# ---------------------------------------------------------------------------
+# Bilateral cross threshold
+# ---------------------------------------------------------------------------
+
+
+def _after_sums_h(base_read, work0, work1, acc, k, mx, w, R, C):
+    """Horizontal AFTER-sums: acc(y, x) = sum of the k elements strictly
+    right of x, valid over the expanded column range [acl, acr).
+
+    Uses the pow2 ping-pong aggregate with binary decomposition of k.
+    The BEFORE-sum never needs computing: before(x) = after(x - k - 1),
+    read later as a shifted slice of acc (base margins are 0, matching
+    the reference's BORDER_CONSTANT zero padding, lane_tracker.py:73-76).
+    """
+    eg = 1 << max(k.bit_length() - 2, 0)  # largest growth shift
+    acl = mx - k - 1
+    assert acl >= eg - 1, (k, mx)
+    # Simulate the decomposition to bound the largest read offset.
+    max_off, off, g = 1, 1, 1
+    rem_sim = k
+    while rem_sim:
+        if rem_sim & 1:
+            max_off = max(max_off, off)
+            off += g
+        rem_sim >>= 1
+        g *= 2
+    acr = C - eg - max_off
+    aw = acr - acl
+    we = C - 2 * eg
+
+    def sle(read, dx):
+        return read(slice(0, R), slice(eg + dx, eg + dx + we))
+
+    def sla(read, dx):
+        return read(slice(0, R), slice(acl + dx, acl + dx + aw))
+
+    reads = base_read
+    ping = [work0, work1]
+    pidx = 0
+    glen = 1
+    a_off = 1
+    rem = k
+    started = False
+    while rem:
+        if rem & 1:
+            assert acl + a_off >= eg and acr + a_off <= C - eg
+            term = sla(reads, a_off)
+            if started:
+                acc[0:R, acl:acr] = acc[0:R, acl:acr] + term
+            else:
+                acc[0:R, acl:acr] = term
+                started = True
+            a_off += glen
+        rem >>= 1
+        if rem:
+            dst = ping[pidx]
+            dst[0:R, eg:eg + we] = sle(reads, 0) + sle(reads, glen)
+            reads = _read_of(dst)
+            pidx ^= 1
+            glen *= 2
+
+
+def _threshold_kernel(
+    in_hbm, out_ref, stage, w0, w1, acc, cond, sem,
+    *, k, C, block, halo, mv, mx, w_img, cols, noise_thresh,
+):
+    """Bilateral cross threshold (mode='floor'); optionally the noise-mask
+    'keep' output when noise_thresh >= 0 (lane_tracker.py:221-231)."""
+    i = pl.program_id(0)
+    R = stage.shape[0]
+    in_rows = R - 2 * mv
+    h, w = in_rows, w_img
+
+    cp = pltpu.make_async_copy(
+        in_hbm.at[pl.ds(i * block, in_rows), :],
+        stage.at[mv:mv + in_rows, :],
+        sem,
+    )
+    cp.start()
+    stage[0:mv, :] = jnp.zeros((mv, cols), jnp.uint8)
+    stage[mv + in_rows:, :] = jnp.zeros((mv, cols), jnp.uint8)
+    cp.wait()
+
+    def base_read(rs, cs):
+        return stage[rs, cs].astype(jnp.int32)
+
+    def thr():
+        # pass iff arm sum < k*x - C*k; recomputed per use so no value
+        # stays live across the arm phases (two cheap fused ops).
+        x = base_read(slice(mv, mv + h), slice(mx, mx + w))
+        return jnp.int32(k) * x - jnp.int32(C * k)
+
+    # ---- horizontal arms: after-sums + shifted read for before-sums ----
+    # (no margin fills needed: every aggregate/accumulator read below
+    # stays within the expanded regions computed from the staged base,
+    # whose own margins are host/kernel zero-filled)
+    _after_sums_h(base_read, w0, w1, acc, k, mx, w, R, cols)
+    t = thr()
+    after = acc[mv:mv + h, mx:mx + w]
+    before = acc[mv:mv + h, mx - k - 1:mx - k - 1 + w]
+    cond[mv:mv + h, mx:mx + w] = ((before < t) & (after < t)).astype(jnp.int32)
+
+    # ---- vertical arms: direct sublane summation (sublane slices are
+    # near-free on this hardware; no pyramid, no extra buffer — the
+    # after-sum accumulates into w0 and before(y) = after(y - k - 1) ----
+    A = w0
+    CHUNK = 8
+    for start in range(1, k + 1, CHUNK):
+        terms = [
+            base_read(slice(d, d + R - k), slice(mx, mx + w))
+            for d in range(start, min(start + CHUNK, k + 1))
+        ]
+        expr = terms[0]
+        for tm in terms[1:]:
+            expr = expr + tm
+        if start == 1:
+            A[0:R - k, mx:mx + w] = expr
+        else:
+            A[0:R - k, mx:mx + w] = A[0:R - k, mx:mx + w] + expr
+
+    t = thr()
+    v_after = A[mv:mv + h, mx:mx + w]
+    v_before = A[mv - k - 1:mv - k - 1 + h, mx:mx + w]
+    hit = (cond[mv:mv + h, mx:mx + w] > 0) | ((v_before < t) & (v_after < t))
+    if noise_thresh >= 0:
+        # keep = NOT inRange(x, noise_thresh, 255) OR bilateral hit.
+        x = base_read(slice(mv, mv + h), slice(mx, mx + w))
+        hit = (x < jnp.int32(noise_thresh)) | hit
+    cond[mv:mv + h, mx:mx + w] = jnp.where(hit, jnp.int32(255), jnp.int32(0))
+
+    s = mv + halo
+    out_ref[:, :] = cond[s:s + block, :].astype(jnp.uint8)
+
+
+def bilateral_threshold_pallas2(
+    img: jnp.ndarray,
+    ksize: int,
+    C: int,
+    *,
+    noise_thresh: int = -1,
+    block: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bilateral cross threshold (mode='floor'), VMEM-resident per block.
+
+    With ``noise_thresh >= 0`` returns the noise-mask 'keep' image instead:
+    255 where the pixel is below noise_thresh OR passes the threshold
+    (lane_tracker.py:221-231 with the inRange/logical_not folded in).
+    Bit-exact with ops.threshold.bilateral_adaptive_threshold.
+    """
+    H, W = img.shape
+    k = int(ksize)
+    halo = k
+    if block is None:
+        # Larger k needs wider margins/halos; keep ~5 live i32 buffers
+        # inside the VMEM budget by shrinking the block.
+        block = _round_up(-(-H // (3 if k <= 35 else 6)), 8)
+    grid = -(-H // block)
+    mv = _round_up(k + 1, 8)
+    mx = _round_up(k + 1, 64)
+    cols = _round_up(W + 2 * mx, LANE)
+    in_rows = _round_up(block + 2 * halo, 8)
+    rows = in_rows + 2 * mv
+
+    hbuf = jnp.zeros((grid * block + (in_rows - block), cols), jnp.uint8)
+    hbuf = jax.lax.dynamic_update_slice(hbuf, img, (halo, mx))
+
+    kernel = functools.partial(
+        _threshold_kernel,
+        k=k, C=int(C), block=int(block), halo=int(halo),
+        mv=int(mv), mx=int(mx), w_img=int(W), cols=int(cols),
+        noise_thresh=int(noise_thresh),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=jax.ShapeDtypeStruct((grid * block, cols), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((block, cols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, cols), jnp.uint8),   # stage
+            pltpu.VMEM((rows, cols), jnp.int32),   # w0 (pyramid / A)
+            pltpu.VMEM((rows, cols), jnp.int32),   # w1 (pyramid)
+            pltpu.VMEM((rows, cols), jnp.int32),   # acc (h after-sums)
+            pltpu.VMEM((rows, cols), jnp.int32),   # cond
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(hbuf)
+    return out[:H, mx:mx + W]
+
+
+# ---------------------------------------------------------------------------
+# Full bilateral filter stage assembled from the stage kernels
+# ---------------------------------------------------------------------------
+
+
+def filter_stage_v2(
+    rgb_r: jnp.ndarray,
+    lab_b: jnp.ndarray,
+    ksize_r: int = 25,
+    C_r: int = 8,
+    ksize_b: int = 35,
+    C_b: int = 5,
+    mask_noise: bool = False,
+    ksize_noise: int = 65,
+    C_noise: int = 10,
+    noise_thresh: int = 135,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bilateral-mode filter stage via the v2 stage kernels.
+
+    Same contract as ops.filters.filter_lane_points_channels with
+    filter_type='bilateral' (lane_tracker.py:183-240): tophats, cross
+    thresholds, optional noise mask, merge, then the XLA 5x5 open (small
+    support; not worth a kernel).
+    """
+    from lane_tracker_tpu.ops.morphology import open_ellipse
+
+    r_feat = tophat_pallas2(rgb_r, 29, interpret=interpret)
+    b_feat = tophat_pallas2(lab_b, 55, interpret=interpret)
+    r_th = bilateral_threshold_pallas2(
+        r_feat, ksize_r, C_r, interpret=interpret)
+    b_th = bilateral_threshold_pallas2(
+        b_feat, ksize_b, C_b, interpret=interpret)
+    merged = (r_th > 0) | (b_th > 0)
+    if mask_noise:
+        keep = bilateral_threshold_pallas2(
+            lab_b, ksize_noise, C_noise, noise_thresh=noise_thresh,
+            interpret=interpret)
+        merged = merged & (keep > 0)
+    merged_u8 = jnp.where(merged, jnp.uint8(255), jnp.uint8(0))
+    return open_ellipse(merged_u8, 5)

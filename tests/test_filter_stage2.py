@@ -1,0 +1,111 @@
+"""Parity tests for the v2 Pallas stage kernels (interpret mode on CPU).
+
+Each kernel is checked bit-exact against the XLA ops it replaces
+(ops/morphology.py, ops/threshold.py, ops/filters.py), which are
+themselves pinned against OpenCV; hardware runs are validated separately
+by scripts/filter2_bench.py.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import ASSETS_DIR
+
+from lane_tracker_tpu.kernels.filter_stage2 import (
+    bilateral_threshold_pallas2,
+    extent_groups,
+    filter_stage_v2,
+    tophat_pallas2,
+)
+from lane_tracker_tpu.ops.filters import filter_lane_points_channels
+from lane_tracker_tpu.ops.morphology import ellipse_runs, tophat_ellipse
+from lane_tracker_tpu.ops.threshold import bilateral_adaptive_threshold, in_range
+
+
+@pytest.fixture(scope="module")
+def channels():
+    from lane_tracker_tpu.calib.io import load_calibration_npz
+    from lane_tracker_tpu.calib.undistort import fused_undistort_warp_grid
+    from lane_tracker_tpu.kernels.resample import ResampleGrid, bilinear_gather
+    from lane_tracker_tpu.ops.color import rgb2lab_b_u8
+
+    cam, warp = load_calibration_npz("assets/calibration.npz")
+    img = np.asarray(Image.open(ASSETS_DIR / "test4.jpg").convert("RGB"))
+    grid = ResampleGrid.from_quantized(
+        fused_undistort_warp_grid(
+            cam.cam_matrix, cam.dist_coeffs, warp.M,
+            warp.image_width_height, warp.warped_width_height,
+        )
+    )
+    r = np.asarray(bilinear_gather(img[..., 0], grid))
+    b = np.asarray(bilinear_gather(np.asarray(rgb2lab_b_u8(img)), grid))
+    return r, b
+
+
+def test_extent_groups_cover_ellipse():
+    """The extent grouping reproduces the SE row set exactly."""
+    for ksize in (5, 29, 55):
+        runs = dict(ellipse_runs(ksize))
+        covered = {}
+        for (lo, hi), segs in extent_groups(ksize):
+            for slo, shi in segs:
+                for dy in range(slo, shi + 1):
+                    assert dy not in covered
+                    covered[dy] = (lo, hi)
+        assert covered == runs
+
+
+@pytest.mark.parametrize("ksize", [5, 29, 55])
+def test_tophat_kernel_bit_exact(channels, ksize):
+    r, b = channels
+    img = b if ksize == 55 else r
+    want = np.asarray(tophat_ellipse(img, ksize))
+    got = np.asarray(tophat_pallas2(img, ksize, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tophat_kernel_small_geometry():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (200, 300), np.uint8)
+    want = np.asarray(tophat_ellipse(img, 29))
+    got = np.asarray(tophat_pallas2(img, 29, block=64, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("ksize,C", [(25, 8), (35, 5), (65, 10)])
+def test_threshold_kernel_bit_exact(channels, ksize, C):
+    r, b = channels
+    feat = np.asarray(tophat_ellipse(b if ksize >= 35 else r, 29))
+    want = np.asarray(bilateral_adaptive_threshold(feat, ksize=ksize, C=C))
+    got = np.asarray(
+        bilateral_threshold_pallas2(feat, ksize, C, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_threshold_kernel_noise_keep(channels):
+    _, b = channels
+    want_bil = np.asarray(bilateral_adaptive_threshold(b, ksize=65, C=10))
+    want_noise = np.asarray(in_range(b, 135, 255))
+    want = np.where((want_noise == 0) | (want_bil > 0), 255, 0).astype(np.uint8)
+    got = np.asarray(bilateral_threshold_pallas2(
+        b, 65, 10, noise_thresh=135, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mask_noise", [False, True])
+def test_filter_stage_v2_bit_exact(channels, mask_noise):
+    r, b = channels
+    want = np.asarray(filter_lane_points_channels(
+        r, b, filter_type="bilateral", ksize_r=25, C_r=8, ksize_b=35, C_b=5,
+        mask_noise=mask_noise, ksize_noise=65, C_noise=10, noise_thresh=135,
+        backend="xla"))
+    got = np.asarray(filter_stage_v2(
+        r, b, ksize_r=25, C_r=8, ksize_b=35, C_b=5, mask_noise=mask_noise,
+        ksize_noise=65, C_noise=10, noise_thresh=135, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    # Sanity: a plausible lane-candidate fraction on a real frame (the
+    # SURVEY §4 golden counts apply to the compat cv2 warp chain and are
+    # pinned in test_corpus.py; this fixture warps with the fused grid).
+    frac = float((got > 0).mean())
+    assert 0.02 < frac < 0.12, frac
