@@ -179,3 +179,67 @@ def test_mxu_pipeline_tracks_like_fast(tiny):
     # proportionally large; full-geometry quality is pinned by
     # test_mxu_warp_matches_gather_on_synthetic and the bench quality check.
     assert rmse < 8.0
+
+
+def test_rows_sharded_front_half_bit_exact(calib):
+    """Full-geometry front half with frame rows sharded across 8 devices is
+    bit-identical to the unsharded computation (VERDICT r1 item 7): XLA
+    SPMD must insert whatever halo/gather collectives the warp gathers and
+    stencils need without changing a single pixel."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from PIL import Image
+
+    from tests.conftest import ASSETS_DIR
+    from lane_tracker_tpu.tracker.config import PRESETS
+    from lane_tracker_tpu.tracker.step import front_artifacts
+
+    assert len(jax.devices()) >= 8
+    cam, warp = calib
+    params = TrackerParams.build(
+        cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
+        warp.image_width_height, warp.warped_width_height,
+        warp.mppv, warp.mpph, pipeline="fast",
+    )
+    config = PRESETS["demo1"]
+    f911 = np.asarray(Image.open(ASSETS_DIR / "frame911.jpg").convert("RGB"))
+    f971 = np.asarray(Image.open(ASSETS_DIR / "frame971.jpg").convert("RGB"))
+    frames = np.stack([f911, f971])
+
+    fn = jax.jit(lambda fr, p: jax.vmap(
+        lambda f: front_artifacts(f, p, config))(fr))
+
+    plain = fn(frames, params)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("rows",))
+    frames_sharded = jax.device_put(
+        frames, NamedSharding(mesh, P(None, "rows", None, None)))
+    sharded = fn(frames_sharded, params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(plain),
+                    jax.tree_util.tree_leaves(sharded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fleet_metrics_psum_parity(tiny):
+    """Fleet-aggregated metrics over divergent sharded streams equal the
+    sum of unsharded per-stream replays (the psum is exact)."""
+    params, config = tiny
+    mesh = stream_mesh(8)
+    fleet = StreamFleet(params, config, n_streams=8, mesh=mesh)
+    frames = np.stack([_lane_frames(2, seed=s) for s in range(8)])
+    frames[2] = 0  # divergent content incl. a dead stream
+    outs, metrics = fleet.step(frames)
+
+    state0 = make_initial_state(config, params.warped_size)
+    run1 = jax.jit(lambda s, f: chunk_process(
+        s, f, params, config, False, hoist_second_attempt=True))
+    valid = detected = attempts2 = 0
+    for s in range(8):
+        _, o = run1(state0, frames[s])
+        valid += int(np.asarray(o.valid).sum())
+        detected += int(np.asarray(o.detected).sum())
+        attempts2 += int((np.asarray(o.n_attempts) > 1).sum())
+    assert int(metrics["valid_frames"]) == valid
+    assert int(metrics["detected_frames"]) == detected
+    assert int(metrics["second_attempts"]) == attempts2
+    assert int(metrics["frames"]) == 16
