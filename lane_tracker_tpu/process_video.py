@@ -104,50 +104,64 @@ def run(argv=None):
     total = valid_total = 0
     frame_log = open(args.per_frame_log, "w") if args.per_frame_log else None
 
+    def drain(outs, n_valid, base):
+        """Materialize one chunk's device outputs and do all host work."""
+        nonlocal valid_total
+        overlays = np.array(outs.overlay)  # writable copy for annotation
+        meter.add(n_valid)
+        # Host-side annotation (text never feeds back into tracking).
+        radii = np.asarray(outs.radius)
+        eccs = np.asarray(outs.ecc)
+        modes = np.asarray(outs.render_mode)
+        for t in range(n_valid):
+            f = overlays[t]
+            if modes[t] == 0:
+                draw_text(f, f"Curve Radius: {int(radii[t])} m", (20, 35))
+                draw_text(f, f"Eccentricity: {eccs[t]:.2f} m", (20, 70))
+                if args.print_frame_count:
+                    draw_text(f, f"Frame: {base + t}", (20, 105))
+            else:
+                draw_text(f, "Lane Line Detection Failed", (20, 35))
+                if args.print_frame_count:
+                    draw_text(f, f"Frame: {base + t}", (20, 70))
+        sink.write(overlays, n_valid)
+        if frame_log is not None:
+            valids = np.asarray(outs.valid)
+            detected = np.asarray(outs.detected)
+            smodes = np.asarray(outs.search_mode)
+            attempts = np.asarray(outs.n_attempts)
+            for t in range(n_valid):
+                frame_log.write(
+                    json.dumps(
+                        {
+                            "frame": base + t,
+                            "valid": bool(valids[t]),
+                            "detected": bool(detected[t]),
+                            "search_mode": "band" if smodes[t] else "sliding",
+                            "attempts": int(attempts[t]),
+                            "render": "lane" if modes[t] == 0 else "failure",
+                            "radius_m": float(radii[t]),
+                            "eccentricity_m": float(eccs[t]),
+                        }
+                    )
+                    + "\n"
+                )
+        valid_total += int(np.asarray(outs.valid)[:n_valid].sum())
+
     with maybe_profile(args.profile_dir):
+        # Double-buffered: dispatch chunk k+1 (async under JAX) BEFORE
+        # materializing chunk k's overlays, so the D2H transfer +
+        # annotation + encode of one chunk overlap the device compute of
+        # the next (and the native loader's prefetch overlaps both).
+        pending = None
         for chunk, n_valid in src.chunks(args.chunk):
             state, outs = step(state, chunk, params)
-            overlays = np.array(outs.overlay)  # writable copy for annotation
-            meter.add(n_valid)
-            # Host-side annotation (text never feeds back into tracking).
-            radii = np.asarray(outs.radius)
-            eccs = np.asarray(outs.ecc)
-            modes = np.asarray(outs.render_mode)
-            for t in range(n_valid):
-                f = overlays[t]
-                if modes[t] == 0:
-                    draw_text(f, f"Curve Radius: {int(radii[t])} m", (20, 35))
-                    draw_text(f, f"Eccentricity: {eccs[t]:.2f} m", (20, 70))
-                    if args.print_frame_count:
-                        draw_text(f, f"Frame: {total + t}", (20, 105))
-                else:
-                    draw_text(f, "Lane Line Detection Failed", (20, 35))
-                    if args.print_frame_count:
-                        draw_text(f, f"Frame: {total + t}", (20, 70))
-            sink.write(overlays, n_valid)
-            if frame_log is not None:
-                valids = np.asarray(outs.valid)
-                detected = np.asarray(outs.detected)
-                smodes = np.asarray(outs.search_mode)
-                attempts = np.asarray(outs.n_attempts)
-                for t in range(n_valid):
-                    frame_log.write(
-                        json.dumps(
-                            {
-                                "frame": total + t,
-                                "valid": bool(valids[t]),
-                                "detected": bool(detected[t]),
-                                "search_mode": "band" if smodes[t] else "sliding",
-                                "attempts": int(attempts[t]),
-                                "render": "lane" if modes[t] == 0 else "failure",
-                                "radius_m": float(radii[t]),
-                                "eccentricity_m": float(eccs[t]),
-                            }
-                        )
-                        + "\n"
-                    )
+            if pending is not None:
+                drain(*pending)
+            pending = (outs, n_valid, total)
             total += n_valid
-            valid_total += int(np.asarray(outs.valid)[:n_valid].sum())
+        if pending is not None:
+            drain(*pending)
 
     src.close()
     sink.close()
