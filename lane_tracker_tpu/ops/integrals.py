@@ -15,6 +15,13 @@ Interval [lo, hi) then yields count = P0[y,hi]-P0[y,lo] and x-sum =
 P1[y,hi]-P1[y,lo] — exactly the moments of the pixel set the reference
 gathers with np.nonzero (lane_tracker.py:300, 469), with no data-dependent
 shapes.
+
+Both prefixes ride in ONE int32 cumsum: the count needs ceil(log2(W+1))
+bits and the x-sum at most 31 - that, so a pixel contributes
+``x << SHIFT | 1`` and the packed prefix splits exactly — field
+differences over an interval can never borrow (both are non-negative and
+bounded).  This halves the cumsum traffic of the hot front half AND the
+per-row gathers in the sequential back half.
 """
 
 from __future__ import annotations
@@ -25,19 +32,30 @@ import jax.numpy as jnp
 
 
 class RowPrefixes(NamedTuple):
-    p0: jnp.ndarray  # (H, W+1) int32 — prefix pixel counts per row
-    p1: jnp.ndarray  # (H, W+1) int32 — prefix x-sums per row
+    packed: jnp.ndarray  # (H, W+1) int32 — (x-sum << shift) | count
+
+
+def _count_shift(W: int) -> int:
+    """Bit width of the count field; derived from the static width so it
+    never rides in the pytree (W is known from packed.shape at each use)."""
+    shift = (W + 1).bit_length()  # counts go up to W inclusive
+    # x-sum bound: sum of all column indices of a full row.
+    assert (W * (W - 1) // 2) << shift < 2**31, (
+        f"packed row prefixes overflow int32 at W={W}"
+    )
+    return shift
 
 
 def build_row_prefixes(binary: jnp.ndarray) -> RowPrefixes:
-    """Prefix count/x-sum per row of a binary (H, W) uint8 image."""
+    """Packed prefix count/x-sum per row of a binary (H, W) uint8 image."""
     H, W = binary.shape
+    shift = _count_shift(W)
     nz = (binary > 0).astype(jnp.int32)
     xs = jnp.arange(W, dtype=jnp.int32)[None, :]
+    contrib = nz * ((xs << shift) | 1)
     z = jnp.zeros((H, 1), jnp.int32)
-    p0 = jnp.concatenate([z, jnp.cumsum(nz, axis=1)], axis=1)
-    p1 = jnp.concatenate([z, jnp.cumsum(nz * xs, axis=1)], axis=1)
-    return RowPrefixes(p0=p0, p1=p1)
+    packed = jnp.concatenate([z, jnp.cumsum(contrib, axis=1)], axis=1)
+    return RowPrefixes(packed=packed)
 
 
 def interval_moments(pref: RowPrefixes, x_lo, x_hi, row_valid):
@@ -45,15 +63,16 @@ def interval_moments(pref: RowPrefixes, x_lo, x_hi, row_valid):
 
     x_lo/x_hi: (H,) int32 (clipped internally); row_valid: (H,) bool.
     """
-    H, Wp1 = pref.p0.shape
+    H, Wp1 = pref.packed.shape
+    shift = _count_shift(Wp1 - 1)
     lo = jnp.clip(x_lo, 0, Wp1 - 1)
     hi = jnp.clip(x_hi, 0, Wp1 - 1)
     hi = jnp.maximum(hi, lo)
-    n = jnp.take_along_axis(pref.p0, hi[:, None], axis=1)[:, 0] - jnp.take_along_axis(
-        pref.p0, lo[:, None], axis=1
-    )[:, 0]
-    sx = jnp.take_along_axis(pref.p1, hi[:, None], axis=1)[:, 0] - jnp.take_along_axis(
-        pref.p1, lo[:, None], axis=1
-    )[:, 0]
+    diff = (
+        jnp.take_along_axis(pref.packed, hi[:, None], axis=1)[:, 0]
+        - jnp.take_along_axis(pref.packed, lo[:, None], axis=1)[:, 0]
+    )
+    n = diff & ((1 << shift) - 1)
+    sx = diff >> shift
     valid = row_valid.astype(jnp.int32)
     return n * valid, sx * valid

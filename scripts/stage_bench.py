@@ -148,7 +148,7 @@ def main(selected):
     # --- prefixes + sws precompute ---
     def prefix_body(c, p):
         pref = jax.vmap(build_row_prefixes)(c)
-        d = (jnp.max(pref.p0) & 1).astype(jnp.uint8)
+        d = (jnp.max(pref.packed) & 1).astype(jnp.uint8)
         return c ^ d
     stages["row_prefixes"] = (lambda: bin1, prefix_body)
 
@@ -162,7 +162,7 @@ def main(selected):
     # --- front half total ---
     def front_body(c, p):
         arts = jax.vmap(lambda f: front_artifacts(f, p, config))(c)
-        d = (jnp.max(arts.pref.p0) & 1).astype(jnp.uint8)
+        d = (jnp.max(arts.pref.packed) & 1).astype(jnp.uint8)
         return c ^ d
     stages["front_total"] = (lambda: chunk_d, front_body)
 
