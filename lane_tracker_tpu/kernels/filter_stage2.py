@@ -160,12 +160,13 @@ def _tophat_kernel(
     in_hbm, out_ref, stage, w0, w1, acc, dacc, sem,
     *, ksize, block, halo, mv, mx, h_img, w_img, cols,
 ):
-    i = pl.program_id(0)
+    t = pl.program_id(0)  # frame within the batch
+    i = pl.program_id(1)  # row block within the frame
     in_rows = stage.shape[0] - 2 * mv
     h, w = in_rows, w_img
 
     cp = pltpu.make_async_copy(
-        in_hbm.at[pl.ds(i * block, in_rows), :],
+        in_hbm.at[t, pl.ds(i * block, in_rows), :],
         stage.at[mv:mv + in_rows, :],
         sem,
     )
@@ -199,7 +200,7 @@ def _tophat_kernel(
     # ---- tophat = x - opened; emit this block's output rows ----
     s = mv + halo
     diff = stage[s:s + block, :].astype(jnp.int32) - dacc[s:s + block, :]
-    out_ref[:, :] = diff.astype(jnp.uint8)
+    out_ref[0, :, :] = diff.astype(jnp.uint8)
 
 
 def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
@@ -207,9 +208,14 @@ def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
     """White tophat with OpenCV's ksize x ksize elliptical SE.
 
     Bit-exact with ops.morphology.tophat_ellipse (uint8 in/out), computed
-    VMEM-resident per row block.
+    VMEM-resident per row block.  Accepts (H, W) or a (T, H, W) batch —
+    batching is a native grid dimension (Pallas ANY-space inputs do not
+    vmap), so the chunk pipeline calls this on whole chunks.
     """
-    H, W = img.shape
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    T, H, W = img.shape
     halo = 2 * (ksize // 2)
     if block is None:
         block = _round_up(-(-H // 3), 8)
@@ -221,8 +227,9 @@ def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
     rows = in_rows + 2 * mv
 
     # Host-side pad: 255 (erode neutral) everywhere outside the image.
-    hbuf = jnp.full((grid * block + (in_rows - block), cols), 255, jnp.uint8)
-    hbuf = jax.lax.dynamic_update_slice(hbuf, img, (halo, mx))
+    hbuf = jnp.full((T, grid * block + (in_rows - block), cols), 255,
+                    jnp.uint8)
+    hbuf = jax.lax.dynamic_update_slice(hbuf, img, (0, halo, mx))
 
     kernel = functools.partial(
         _tophat_kernel,
@@ -231,10 +238,10 @@ def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(grid,),
-        out_shape=jax.ShapeDtypeStruct((grid * block, cols), jnp.uint8),
+        grid=(T, grid),
+        out_shape=jax.ShapeDtypeStruct((T, grid * block, cols), jnp.uint8),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((block, cols), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rows, cols), jnp.uint8),   # stage
@@ -246,11 +253,12 @@ def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(hbuf)
-    return out[:H, mx:mx + W]
+    out = out[:, :H, mx:mx + W]
+    return out[0] if squeeze else out
 
 
 # ---------------------------------------------------------------------------
@@ -321,13 +329,14 @@ def _threshold_kernel(
 ):
     """Bilateral cross threshold (mode='floor'); optionally the noise-mask
     'keep' output when noise_thresh >= 0 (lane_tracker.py:221-231)."""
-    i = pl.program_id(0)
+    t = pl.program_id(0)  # frame within the batch
+    i = pl.program_id(1)  # row block within the frame
     R = stage.shape[0]
     in_rows = R - 2 * mv
     h, w = in_rows, w_img
 
     cp = pltpu.make_async_copy(
-        in_hbm.at[pl.ds(i * block, in_rows), :],
+        in_hbm.at[t, pl.ds(i * block, in_rows), :],
         stage.at[mv:mv + in_rows, :],
         sem,
     )
@@ -384,7 +393,7 @@ def _threshold_kernel(
     cond[mv:mv + h, mx:mx + w] = jnp.where(hit, jnp.int32(255), jnp.int32(0))
 
     s = mv + halo
-    out_ref[:, :] = cond[s:s + block, :].astype(jnp.uint8)
+    out_ref[0, :, :] = cond[s:s + block, :].astype(jnp.uint8)
 
 
 def bilateral_threshold_pallas2(
@@ -402,8 +411,12 @@ def bilateral_threshold_pallas2(
     255 where the pixel is below noise_thresh OR passes the threshold
     (lane_tracker.py:221-231 with the inRange/logical_not folded in).
     Bit-exact with ops.threshold.bilateral_adaptive_threshold.
+    Accepts (H, W) or a (T, H, W) batch (native grid batching).
     """
-    H, W = img.shape
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    T, H, W = img.shape
     k = int(ksize)
     halo = k
     if block is None:
@@ -417,8 +430,8 @@ def bilateral_threshold_pallas2(
     in_rows = _round_up(block + 2 * halo, 8)
     rows = in_rows + 2 * mv
 
-    hbuf = jnp.zeros((grid * block + (in_rows - block), cols), jnp.uint8)
-    hbuf = jax.lax.dynamic_update_slice(hbuf, img, (halo, mx))
+    hbuf = jnp.zeros((T, grid * block + (in_rows - block), cols), jnp.uint8)
+    hbuf = jax.lax.dynamic_update_slice(hbuf, img, (0, halo, mx))
 
     kernel = functools.partial(
         _threshold_kernel,
@@ -428,10 +441,10 @@ def bilateral_threshold_pallas2(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(grid,),
-        out_shape=jax.ShapeDtypeStruct((grid * block, cols), jnp.uint8),
+        grid=(T, grid),
+        out_shape=jax.ShapeDtypeStruct((T, grid * block, cols), jnp.uint8),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((block, cols), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rows, cols), jnp.uint8),   # stage
@@ -443,11 +456,12 @@ def bilateral_threshold_pallas2(
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(hbuf)
-    return out[:H, mx:mx + W]
+    out = out[:, :H, mx:mx + W]
+    return out[0] if squeeze else out
 
 
 # ---------------------------------------------------------------------------
@@ -490,4 +504,6 @@ def filter_stage_v2(
             interpret=interpret)
         merged = merged & (keep > 0)
     merged_u8 = jnp.where(merged, jnp.uint8(255), jnp.uint8(0))
+    if merged_u8.ndim == 3:
+        return jax.vmap(lambda m: open_ellipse(m, 5))(merged_u8)
     return open_ellipse(merged_u8, 5)

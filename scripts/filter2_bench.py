@@ -63,25 +63,31 @@ def main():
         return (jnp.max(x) & 1).astype(jnp.uint8)
 
     def check(name, fn_pallas, fn_xla, x0):
-        """Bit-exactness on device, then chunk timing."""
+        """Bit-exactness on device, then chunk timing.
+
+        fn_pallas handles (H, W) or (T, H, W) natively (grid batching);
+        fn_xla is per-image and vmapped for reference.
+        """
         try:
             got = np.asarray(jax.jit(fn_pallas)(x0))
             want = np.asarray(jax.jit(fn_xla)(x0))
             exact = bool(np.array_equal(got, want))
 
-            def body(c, _):
-                out = jax.vmap(fn_pallas)(c)
+            def body(c):
+                out = fn_pallas(c)  # batched natively
                 return c ^ dep_u8(out)
 
             src = r_ch if x0 is r0 else b_ch
             per_iter, _ = device_time_per_iter(
-                lambda: src, body, n_iters=8, repeats=3, invariant=None)
+                lambda: src, body, n_iters=8, repeats=3)
             print(json.dumps({
                 "stage": name, "exact": exact,
                 "ms_per_frame": round(per_iter / T * 1e3, 4),
             }), flush=True)
-        except Exception:  # noqa: BLE001
-            err = traceback.format_exc().strip().split("\n")[-1][:200]
+        except Exception as e:  # noqa: BLE001
+            err = f"{type(e).__name__}: " + " | ".join(
+                ln for ln in str(e).split("\n")[:8] if ln.strip()
+            )[:600]
             print(json.dumps({"stage": name, "error": err}), flush=True)
 
     check("tophat29_r", lambda x: tophat_pallas2(x, 29),
@@ -119,14 +125,14 @@ def main():
         want = np.asarray(jax.jit(xla)(r0, b0))
         exact = bool(np.array_equal(got, want))
 
-        def body(c, _):
+        def body(c):
             r, b = c
-            out = jax.vmap(v2)(r, b)
+            out = v2(r, b)  # batched natively
             d = dep_u8(out)
             return (r ^ d, b ^ d)
 
         per_iter, _ = device_time_per_iter(
-            lambda: (r_ch, b_ch), body, n_iters=8, repeats=3, invariant=None)
+            lambda: (r_ch, b_ch), body, n_iters=8, repeats=3)
         print(json.dumps({
             "stage": "filter_full_v2", "exact": exact,
             "ms_per_frame": round(per_iter / T * 1e3, 4),

@@ -109,3 +109,20 @@ def test_filter_stage_v2_bit_exact(channels, mask_noise):
     # pinned in test_corpus.py; this fixture warps with the fused grid).
     frac = float((got > 0).mean())
     assert 0.02 < frac < 0.12, frac
+
+
+def test_batched_matches_per_frame(channels):
+    """Native (T, H, W) grid batching equals per-frame calls."""
+    import jax.numpy as jnp
+
+    r, b = channels
+    batch = np.stack([r[:200], b[:200, :r.shape[1]], r[100:300]])
+    got = np.asarray(tophat_pallas2(batch, 29, block=64, interpret=True))
+    for t in range(3):
+        want = np.asarray(tophat_pallas2(batch[t], 29, block=64, interpret=True))
+        np.testing.assert_array_equal(got[t], want)
+    got = np.asarray(bilateral_threshold_pallas2(batch, 25, 8, interpret=True))
+    for t in range(3):
+        want = np.asarray(
+            bilateral_threshold_pallas2(batch[t], 25, 8, interpret=True))
+        np.testing.assert_array_equal(got[t], want)
