@@ -83,46 +83,47 @@ def _read_of(buf):
     return read
 
 
-def _fill_margins(buf, value, mv, mx, h, w):
-    R, C = buf.shape
-    v = jnp.int32(value)
-    buf[0:mv, :] = jnp.full((mv, C), v, buf.dtype)
-    buf[mv + h:R, :] = jnp.full((R - mv - h, C), v, buf.dtype)
-    buf[:, 0:mx] = jnp.full((R, mx), v, buf.dtype)
-    buf[:, mx + w:C] = jnp.full((R, C - mx - w), v, buf.dtype)
+def _morph(base_read, work0, work1, acc, ksize, op, neutral,
+           mx, w, row_lo, row_n, grow_lo, grow_n):
+    """Erode/dilate by OpenCV's elliptical SE into ``acc``.
 
+    base_read(rows, cols) reads the margin-padded source, valid over at
+    least rows [mv - r, mv + h + r) and the expanded column range (source
+    margins carry the op's neutral).  work0/work1 ping-pong the horizontal
+    pow2 aggregate g_p(y, x) = op over x..x+p-1; extents are consumed in
+    increasing-length order so only the current level is live.  acc
+    receives the result over rows [row_lo, row_lo + row_n), columns
+    [mx, mx + w) — callers pass the TIGHT range the next consumer needs
+    (e.g. the opening's dilate only needs the output block rows).
 
-def _morph(base_read, work0, work1, acc, ksize, op, neutral, mv, mx, h, w):
-    """Erode/dilate by OpenCV's elliptical SE into ``acc``'s interior.
+    Cost structure (measured on v5e): lane-offset slices pay an
+    in-register rotate per statement while sublane-offset slices are
+    near-free.  So each extent does its two lane-offset window reads ONCE
+    into a temp (the stale ping buffer), and the vertical dy span combines
+    via sublane-only reads of that temp.
 
-    base_read(rows, cols) reads the margin-padded source (margins filled
-    with the op's neutral).  work0/work1 ping-pong the horizontal pow2
-    aggregate g_p(y, x) = op over x..x+p-1; extents are consumed in
-    increasing-length order so only the current level is live.  acc's
-    interior receives the final result; its margins are NOT touched.
-
-    Aggregates carry REAL values at margin positions (a window anchored
+    Aggregates carry REAL values at margin columns (a window anchored
     left of the image still covers image columns), so growth writes an
-    EXPANDED region: all rows, columns [ex, C - ex) with the inset ex
-    sized so the largest growth shift stays in bounds.  Window reads at
-    |dx| <= ksize//2 then always land on computed aggregate values, since
-    mx - ksize//2 >= ex by construction.
+    EXPANDED column range [ex, C - ex) with the inset ex sized so the
+    largest growth shift stays in bounds; window reads at |dx| <= r then
+    always land on computed values since mx - r - 1 >= ex.
     """
     R, C = work0.shape
     r = ksize // 2
     max_shift = 1 << max((2 * r + 1).bit_length() - 2, 0)
     ex = mx - r - 1
     assert ex >= max_shift, (ksize, mx)
+    t_lo, t_n = row_lo - r, row_n + 2 * r  # temp covers acc rows +- r
+    assert t_lo >= grow_lo and t_lo + t_n <= grow_lo + grow_n, (
+        row_lo, row_n, grow_lo, grow_n)
     we = C - 2 * ex  # expanded width
 
-    def sl(read, dy, dx):
-        return read(slice(mv + dy, mv + dy + h), slice(mx + dx, mx + dx + w))
-
     def sle(read, dx):
-        return read(slice(0, R), slice(ex + dx, ex + dx + we))
+        return read(slice(grow_lo, grow_lo + grow_n),
+                    slice(ex + dx, ex + dx + we))
 
-    _fill_margins(work0, neutral, mv, mx, h, w)
-    _fill_margins(work1, neutral, mv, mx, h, w)
+    def slt(read, dx):
+        return read(slice(t_lo, t_lo + t_n), slice(mx + dx, mx + dx + w))
 
     p = 1
     reads = base_read
@@ -134,25 +135,32 @@ def _morph(base_read, work0, work1, acc, ksize, op, neutral, mv, mx, h, w):
         target = 1 << (length.bit_length() - 1)
         while p < target:
             dst = ping[pidx]
-            dst[0:R, ex:ex + we] = op(sle(reads, 0), sle(reads, p))
+            dst[grow_lo:grow_lo + grow_n, ex:ex + we] = op(
+                sle(reads, 0), sle(reads, p))
             reads = _read_of(dst)
             pidx ^= 1
             p *= 2
-        # Window over [lo, hi] = op(g_p at lo, g_p at hi - p + 1); all dy
-        # spans of the extent group fold into this one fused statement.
+        # Lane-offset work once: t = window over [lo, hi] (2 rotates).
+        tbuf = ping[pidx]  # the stale ping buffer; dead until next growth
+        if p != length:
+            tw = op(slt(reads, lo), slt(reads, hi - p + 1))
+        else:
+            tw = slt(reads, lo)
+        tbuf[t_lo:t_lo + t_n, mx:mx + w] = tw
+        # Vertical dy span: sublane-only fused reads of the temp.
         terms = []
         for slo, shi in segs:
             for dy in range(slo, shi + 1):
-                terms.append(sl(reads, dy, lo))
-                if p != length:
-                    terms.append(sl(reads, dy, hi - p + 1))
+                terms.append(
+                    tbuf[row_lo + dy:row_lo + dy + row_n, mx:mx + w])
         expr = terms[0]
         for t in terms[1:]:
             expr = op(expr, t)
         if acc_started:
-            acc[mv:mv + h, mx:mx + w] = op(acc[mv:mv + h, mx:mx + w], expr)
+            acc[row_lo:row_lo + row_n, mx:mx + w] = op(
+                acc[row_lo:row_lo + row_n, mx:mx + w], expr)
         else:
-            acc[mv:mv + h, mx:mx + w] = expr
+            acc[row_lo:row_lo + row_n, mx:mx + w] = expr
             acc_started = True
 
 
@@ -180,27 +188,39 @@ def _tophat_kernel(
     def base_read(rs, cs):
         return stage[rs, cs].astype(jnp.int32)
 
-    # ---- erode ----
-    _morph(base_read, w0, w1, acc, ksize, jnp.minimum, 255, mv, mx, h, w)
+    # Tight per-phase row extents: the final subtract needs only this
+    # block's rows [mv+2r, mv+2r+block); the dilate producing them reads
+    # the eroded image +-r; the erode's window reads its source +-r more.
+    r = ksize // 2
+    e_lo, e_n = mv + r, block + 2 * r
+
+    # ---- erode (aggregates over all data rows) ----
+    _morph(base_read, w0, w1, acc, ksize, jnp.minimum, 255,
+           mx, w, e_lo, e_n, mv, in_rows)
 
     # The opening's dilate reads the eroded image with BORDER_CONSTANT 0
-    # (dilate neutral) outside the image — zero acc's margins and
-    # out-of-image strips in one masked sweep.
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
-    grow = rows_i - mv + i * block - halo
+    # (dilate neutral) outside the image — zero acc's out-of-image and
+    # column-margin positions over its valid rows in one masked sweep.
+    shape = (e_n, stage.shape[1])
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    grow = rows_i + e_lo - mv + i * block - halo
     in_img = (
         (grow >= 0) & (grow < h_img) & (cols_i >= mx) & (cols_i < mx + w_img)
     )
-    acc[:, :] = jnp.where(in_img, acc[:, :], 0)
+    acc[e_lo:e_lo + e_n, :] = jnp.where(in_img, acc[e_lo:e_lo + e_n, :], 0)
 
-    # ---- dilate of the eroded image ----
-    _morph(_read_of(acc), w0, w1, dacc, ksize, jnp.maximum, 0, mv, mx, h, w)
+    # ---- dilate of the eroded image (aggregates over the eroded rows) ----
+    _morph(_read_of(acc), w0, w1, dacc, ksize, jnp.maximum, 0,
+           mx, w, mv + 2 * r, block, e_lo, e_n)
 
     # ---- tophat = x - opened; emit this block's output rows ----
     s = mv + halo
-    diff = stage[s:s + block, :].astype(jnp.int32) - dacc[s:s + block, :]
-    out_ref[0, :, :] = diff.astype(jnp.uint8)
+    diff = (
+        stage[s:s + block, mx:mx + w].astype(jnp.int32)
+        - dacc[s:s + block, mx:mx + w]
+    )
+    out_ref[0, :, mx:mx + w] = diff.astype(jnp.uint8)
 
 
 def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
@@ -266,9 +286,10 @@ def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
 # ---------------------------------------------------------------------------
 
 
-def _after_sums_h(base_read, work0, work1, acc, k, mx, w, R, C):
+def _after_sums_h(base_read, work0, work1, acc, k, mx, w, row_lo, row_n, C):
     """Horizontal AFTER-sums: acc(y, x) = sum of the k elements strictly
-    right of x, valid over the expanded column range [acl, acr).
+    right of x, valid over rows [row_lo, row_lo + row_n) and the expanded
+    column range [acl, acr).
 
     Uses the pow2 ping-pong aggregate with binary decomposition of k.
     The BEFORE-sum never needs computing: before(x) = after(x - k - 1),
@@ -292,10 +313,12 @@ def _after_sums_h(base_read, work0, work1, acc, k, mx, w, R, C):
     we = C - 2 * eg
 
     def sle(read, dx):
-        return read(slice(0, R), slice(eg + dx, eg + dx + we))
+        return read(slice(row_lo, row_lo + row_n),
+                    slice(eg + dx, eg + dx + we))
 
     def sla(read, dx):
-        return read(slice(0, R), slice(acl + dx, acl + dx + aw))
+        return read(slice(row_lo, row_lo + row_n),
+                    slice(acl + dx, acl + dx + aw))
 
     reads = base_read
     ping = [work0, work1]
@@ -308,16 +331,18 @@ def _after_sums_h(base_read, work0, work1, acc, k, mx, w, R, C):
         if rem & 1:
             assert acl + a_off >= eg and acr + a_off <= C - eg
             term = sla(reads, a_off)
+            rows = slice(row_lo, row_lo + row_n)
             if started:
-                acc[0:R, acl:acr] = acc[0:R, acl:acr] + term
+                acc[rows, acl:acr] = acc[rows, acl:acr] + term
             else:
-                acc[0:R, acl:acr] = term
+                acc[rows, acl:acr] = term
                 started = True
             a_off += glen
         rem >>= 1
         if rem:
             dst = ping[pidx]
-            dst[0:R, eg:eg + we] = sle(reads, 0) + sle(reads, glen)
+            dst[row_lo:row_lo + row_n, eg:eg + we] = (
+                sle(reads, 0) + sle(reads, glen))
             reads = _read_of(dst)
             pidx ^= 1
             glen *= 2
@@ -328,15 +353,22 @@ def _threshold_kernel(
     *, k, C, block, halo, mv, mx, w_img, cols, noise_thresh,
 ):
     """Bilateral cross threshold (mode='floor'); optionally the noise-mask
-    'keep' output when noise_thresh >= 0 (lane_tracker.py:221-231)."""
-    t = pl.program_id(0)  # frame within the batch
+    'keep' output when noise_thresh >= 0 (lane_tracker.py:221-231).
+
+    Every statement is confined to the rows its consumer needs: the
+    horizontal phase and the condition only ever touch this block's
+    OUTPUT rows; the vertical after-sum covers output rows plus the k+1
+    rows above (its shifted before-read).
+    """
+    tf = pl.program_id(0)  # frame within the batch
     i = pl.program_id(1)  # row block within the frame
     R = stage.shape[0]
     in_rows = R - 2 * mv
-    h, w = in_rows, w_img
+    w = w_img
+    o_lo = mv + halo  # first output row in buffer coordinates
 
     cp = pltpu.make_async_copy(
-        in_hbm.at[t, pl.ds(i * block, in_rows), :],
+        in_hbm.at[tf, pl.ds(i * block, in_rows), :],
         stage.at[mv:mv + in_rows, :],
         sem,
     )
@@ -349,51 +381,54 @@ def _threshold_kernel(
         return stage[rs, cs].astype(jnp.int32)
 
     def thr():
-        # pass iff arm sum < k*x - C*k; recomputed per use so no value
-        # stays live across the arm phases (two cheap fused ops).
-        x = base_read(slice(mv, mv + h), slice(mx, mx + w))
+        # pass iff arm sum < k*x - C*k over the output rows; recomputed
+        # per use so no value stays live across the arm phases.
+        x = base_read(slice(o_lo, o_lo + block), slice(mx, mx + w))
         return jnp.int32(k) * x - jnp.int32(C * k)
 
-    # ---- horizontal arms: after-sums + shifted read for before-sums ----
-    # (no margin fills needed: every aggregate/accumulator read below
-    # stays within the expanded regions computed from the staged base,
-    # whose own margins are host/kernel zero-filled)
-    _after_sums_h(base_read, w0, w1, acc, k, mx, w, R, cols)
-    t = thr()
-    after = acc[mv:mv + h, mx:mx + w]
-    before = acc[mv:mv + h, mx - k - 1:mx - k - 1 + w]
-    cond[mv:mv + h, mx:mx + w] = ((before < t) & (after < t)).astype(jnp.int32)
+    # ---- horizontal arms (output rows only): after-sums + shifted read
+    # for before-sums ----
+    _after_sums_h(base_read, w0, w1, acc, k, mx, w, o_lo, block, cols)
+    tt = thr()
+    after = acc[o_lo:o_lo + block, mx:mx + w]
+    before = acc[o_lo:o_lo + block, mx - k - 1:mx - k - 1 + w]
+    cond[o_lo:o_lo + block, mx:mx + w] = (
+        (before < tt) & (after < tt)
+    ).astype(jnp.int32)
 
     # ---- vertical arms: direct sublane summation (sublane slices are
     # near-free on this hardware; no pyramid, no extra buffer — the
     # after-sum accumulates into w0 and before(y) = after(y - k - 1) ----
     A = w0
+    a_lo = o_lo - k - 1
+    a_n = block + k + 1
     CHUNK = 8
     for start in range(1, k + 1, CHUNK):
         terms = [
-            base_read(slice(d, d + R - k), slice(mx, mx + w))
+            base_read(slice(a_lo + d, a_lo + d + a_n), slice(mx, mx + w))
             for d in range(start, min(start + CHUNK, k + 1))
         ]
         expr = terms[0]
         for tm in terms[1:]:
             expr = expr + tm
         if start == 1:
-            A[0:R - k, mx:mx + w] = expr
+            A[a_lo:a_lo + a_n, mx:mx + w] = expr
         else:
-            A[0:R - k, mx:mx + w] = A[0:R - k, mx:mx + w] + expr
+            A[a_lo:a_lo + a_n, mx:mx + w] = A[a_lo:a_lo + a_n, mx:mx + w] + expr
 
-    t = thr()
-    v_after = A[mv:mv + h, mx:mx + w]
-    v_before = A[mv - k - 1:mv - k - 1 + h, mx:mx + w]
-    hit = (cond[mv:mv + h, mx:mx + w] > 0) | ((v_before < t) & (v_after < t))
+    tt = thr()
+    v_after = A[o_lo:o_lo + block, mx:mx + w]
+    v_before = A[o_lo - k - 1:o_lo - k - 1 + block, mx:mx + w]
+    hit = (
+        (cond[o_lo:o_lo + block, mx:mx + w] > 0)
+        | ((v_before < tt) & (v_after < tt))
+    )
     if noise_thresh >= 0:
         # keep = NOT inRange(x, noise_thresh, 255) OR bilateral hit.
-        x = base_read(slice(mv, mv + h), slice(mx, mx + w))
+        x = base_read(slice(o_lo, o_lo + block), slice(mx, mx + w))
         hit = (x < jnp.int32(noise_thresh)) | hit
-    cond[mv:mv + h, mx:mx + w] = jnp.where(hit, jnp.int32(255), jnp.int32(0))
-
-    s = mv + halo
-    out_ref[0, :, :] = cond[s:s + block, :].astype(jnp.uint8)
+    out_ref[0, :, mx:mx + w] = jnp.where(
+        hit, jnp.uint8(255), jnp.uint8(0))
 
 
 def bilateral_threshold_pallas2(

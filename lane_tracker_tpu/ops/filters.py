@@ -56,6 +56,25 @@ def filter_lane_points_channels(
     Returns:
         (H, W) uint8 binary image, 255 = lane candidate.
     """
+    if filter_type == "bilateral" and backend == "pallas2":
+        # v2 stage kernels (kernels/filter_stage2.py): VMEM-resident i32,
+        # slice shifts, native (T, H, W) batching.  NOT vmappable — the
+        # chunk pipeline calls it on whole batches (tracker/step.py
+        # front_artifacts_batch); per-frame jit use is fine.
+        from lane_tracker_tpu.kernels.filter_stage2 import filter_stage_v2
+
+        return filter_stage_v2(
+            rgb_r,
+            lab_b,
+            ksize_r=ksize_r,
+            C_r=C_r,
+            ksize_b=ksize_b,
+            C_b=C_b,
+            mask_noise=mask_noise,
+            ksize_noise=ksize_noise,
+            C_noise=C_noise,
+            noise_thresh=noise_thresh,
+        )
     if filter_type == "bilateral" and backend != "xla":
         use_pallas = backend == "pallas"
         if backend == "auto":
@@ -63,6 +82,7 @@ def filter_lane_points_channels(
             # (0.82 ms/frame) beats the int32 Pallas megakernel
             # (1.86 ms/frame, 3x halo redundancy + mask-per-shift) — keep
             # XLA as the default; 'pallas' stays available explicitly.
+            # The v2 stage kernels are the 'pallas2' backend.
             use_pallas = False
         if use_pallas:
             from lane_tracker_tpu.kernels.filter_stage import filter_stage_pallas

@@ -31,7 +31,7 @@ from lane_tracker_tpu.tracker.step import (
     StepOutput,
     TrackerParams,
     back_half,
-    front_artifacts,
+    front_artifacts_batch,
     render_frame,
 )
 from lane_tracker_tpu.tracker.state import TrackerState
@@ -57,9 +57,9 @@ def chunk_process(
     itself vmapped over streams, where the cond would otherwise become an
     executed-both-sides select *in the sequential scan*.
     """
-    arts = jax.vmap(
-        lambda f: front_artifacts(f, params, config, hoist_second_attempt)
-    )(frames)
+    # Batched front half (the filter runs once on the whole chunk so
+    # grid-batched Pallas backends work; identical to per-frame vmap).
+    arts = front_artifacts_batch(frames, params, config, hoist_second_attempt)
 
     def body(st, art):
         st, out, meta = back_half(st, art, params, config)

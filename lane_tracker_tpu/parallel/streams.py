@@ -69,6 +69,13 @@ class StreamFleet:
         mesh=None,
         with_overlay: bool = False,
     ):
+        import dataclasses
+
+        if params.filter_backend == "pallas2":
+            # The fleet vmaps chunk_process over streams and grid-batched
+            # Pallas calls cannot vmap; fall back to the XLA filter here
+            # (streams-per-chip is the sharded configuration anyway).
+            params = dataclasses.replace(params, filter_backend="auto")
         self.params = params
         self.config = config
         self.n_streams = int(n_streams)

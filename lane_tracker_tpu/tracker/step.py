@@ -315,6 +315,71 @@ def _second_attempt_binary(r_chan, b_chan, params: TrackerParams):
     )
 
 
+def _filter_batch(r_chan, b_chan, fcfg, backend):
+    """Filter a (T, H, W) channel batch.
+
+    The 'pallas2' backend batches natively via a grid dimension (Pallas
+    ANY-space inputs cannot vmap); every other backend (and the
+    'neighborhood' filter type, which pallas2 does not implement) is the
+    per-frame XLA chain under vmap.
+    """
+    kwargs = dict(
+        filter_type=fcfg.filter_type,
+        ksize_r=fcfg.ksize_r,
+        C_r=fcfg.C_r,
+        ksize_b=fcfg.ksize_b,
+        C_b=fcfg.C_b,
+        mask_noise=fcfg.mask_noise,
+        ksize_noise=fcfg.ksize_noise,
+        C_noise=fcfg.C_noise,
+        noise_thresh=fcfg.noise_thresh,
+    )
+    if backend == "pallas2" and fcfg.filter_type == "bilateral":
+        return filter_lane_points_channels(
+            r_chan, b_chan, backend="pallas2", **kwargs
+        )
+    xla_backend = "xla" if backend == "pallas2" else backend
+    return jax.vmap(
+        lambda r, b: filter_lane_points_channels(
+            r, b, backend=xla_backend, **kwargs
+        )
+    )(r_chan, b_chan)
+
+
+def front_artifacts_batch(
+    frames,
+    params: TrackerParams,
+    config: TrackerConfig,
+    hoist_second_attempt: bool = False,
+) -> "FrontArtifacts":
+    """Batched front half for a (T, Hc, Wc, 3) chunk.
+
+    Same artifacts as vmap(front_artifacts) but with the filter stage
+    invoked ONCE on the whole batch so grid-batched Pallas backends work;
+    bit-identical to the per-frame path for every backend.
+    """
+    r_chan, b_chan = jax.vmap(lambda f: _warp_channels(f, params))(frames)
+    binary1 = _filter_batch(r_chan, b_chan, config.filter,
+                            params.filter_backend)
+    pref = jax.vmap(build_row_prefixes)(binary1)
+    sws = jax.vmap(lambda b: sws_precompute(b, config.search))(binary1)
+    pref2 = sws2 = None
+    if hoist_second_attempt and (config.n_tries >= 2 or config.n_tries == -1):
+        binary2 = _filter_batch(r_chan, b_chan, SECOND_ATTEMPT.filter,
+                                params.filter_backend)
+        pref2 = jax.vmap(build_row_prefixes)(binary2)
+        sws2 = jax.vmap(lambda b: sws_precompute(b, SECOND_ATTEMPT.search))(
+            binary2)
+    return FrontArtifacts(
+        r_chan=r_chan,
+        b_chan=b_chan,
+        pref=pref,
+        sws=sws,
+        pref2=pref2,
+        sws2=sws2,
+    )
+
+
 def front_artifacts(
     frame,
     params: TrackerParams,
