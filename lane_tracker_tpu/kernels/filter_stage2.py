@@ -427,8 +427,9 @@ def _threshold_kernel(
         # keep = NOT inRange(x, noise_thresh, 255) OR bilateral hit.
         x = base_read(slice(o_lo, o_lo + block), slice(mx, mx + w))
         hit = (x < jnp.int32(noise_thresh)) | hit
+    # Select in i32 then cast: Mosaic rejects u8 vector selects here.
     out_ref[0, :, mx:mx + w] = jnp.where(
-        hit, jnp.uint8(255), jnp.uint8(0))
+        hit, jnp.int32(255), jnp.int32(0)).astype(jnp.uint8)
 
 
 def bilateral_threshold_pallas2(

@@ -56,6 +56,20 @@ def filter_lane_points_channels(
     Returns:
         (H, W) uint8 binary image, 255 = lane candidate.
     """
+    if filter_type == "bilateral" and backend == "auto":
+        # Resolve by platform: the v2 stage kernels are bit-exact and
+        # 1.5-3.4x the XLA chain on TPU hardware (tophats 0.19/0.33 ms,
+        # thresholds 0.07-0.12 ms vs 1.68 ms total for XLA), but cannot
+        # run on the CPU backend (no Mosaic) or under vmap — contexts
+        # that vmap the per-frame filter (StreamFleet) pass 'xla'
+        # explicitly.
+        try:
+            import jax
+
+            platform = jax.devices()[0].platform
+        except Exception:  # pragma: no cover - backend init failure
+            platform = "cpu"
+        backend = "pallas2" if platform != "cpu" else "xla"
     if filter_type == "bilateral" and backend == "pallas2":
         # v2 stage kernels (kernels/filter_stage2.py): VMEM-resident i32,
         # slice shifts, native (T, H, W) batching.  NOT vmappable — the
@@ -77,13 +91,6 @@ def filter_lane_points_channels(
         )
     if filter_type == "bilateral" and backend != "xla":
         use_pallas = backend == "pallas"
-        if backend == "auto":
-            # Measured on v5e: XLA's fusion of the u8/i16 op chain
-            # (0.82 ms/frame) beats the int32 Pallas megakernel
-            # (1.86 ms/frame, 3x halo redundancy + mask-per-shift) — keep
-            # XLA as the default; 'pallas' stays available explicitly.
-            # The v2 stage kernels are the 'pallas2' backend.
-            use_pallas = False
         if use_pallas:
             from lane_tracker_tpu.kernels.filter_stage import filter_stage_pallas
 

@@ -71,11 +71,12 @@ class StreamFleet:
     ):
         import dataclasses
 
-        if params.filter_backend == "pallas2":
+        if params.filter_backend in ("pallas2", "auto"):
             # The fleet vmaps chunk_process over streams and grid-batched
-            # Pallas calls cannot vmap; fall back to the XLA filter here
-            # (streams-per-chip is the sharded configuration anyway).
-            params = dataclasses.replace(params, filter_backend="auto")
+            # Pallas calls cannot vmap ('auto' resolves to pallas2 on
+            # TPU); force the XLA filter here (streams-per-chip is the
+            # sharded configuration anyway).
+            params = dataclasses.replace(params, filter_backend="xla")
         self.params = params
         self.config = config
         self.n_streams = int(n_streams)

@@ -334,6 +334,13 @@ def _filter_batch(r_chan, b_chan, fcfg, backend):
         C_noise=fcfg.C_noise,
         noise_thresh=fcfg.noise_thresh,
     )
+    if backend == "auto":
+        # Same resolution as ops/filters.py: pallas2 on accelerators.
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:  # pragma: no cover - backend init failure
+            platform = "cpu"
+        backend = "pallas2" if platform != "cpu" else "xla"
     if backend == "pallas2" and fcfg.filter_type == "bilateral":
         return filter_lane_points_channels(
             r_chan, b_chan, backend="pallas2", **kwargs
