@@ -522,24 +522,137 @@ def filter_stage_v2(
 
     Same contract as ops.filters.filter_lane_points_channels with
     filter_type='bilateral' (lane_tracker.py:183-240): tophats, cross
-    thresholds, optional noise mask, merge, then the XLA 5x5 open (small
-    support; not worth a kernel).
+    thresholds, optional noise mask, then the fused merge + 5x5 open.
     """
-    from lane_tracker_tpu.ops.morphology import open_ellipse
-
     r_feat = tophat_pallas2(rgb_r, 29, interpret=interpret)
     b_feat = tophat_pallas2(lab_b, 55, interpret=interpret)
     r_th = bilateral_threshold_pallas2(
         r_feat, ksize_r, C_r, interpret=interpret)
     b_th = bilateral_threshold_pallas2(
         b_feat, ksize_b, C_b, interpret=interpret)
-    merged = (r_th > 0) | (b_th > 0)
+    keep = None
     if mask_noise:
         keep = bilateral_threshold_pallas2(
             lab_b, ksize_noise, C_noise, noise_thresh=noise_thresh,
             interpret=interpret)
-        merged = merged & (keep > 0)
-    merged_u8 = jnp.where(merged, jnp.uint8(255), jnp.uint8(0))
-    if merged_u8.ndim == 3:
-        return jax.vmap(lambda m: open_ellipse(m, 5))(merged_u8)
-    return open_ellipse(merged_u8, 5)
+    return merge_open_pallas2(r_th, b_th, keep, interpret=interpret)
+
+
+def _merge_open_kernel(
+    r_hbm, b_hbm, k_hbm, out_ref, sr, sb, sk, w0, w1, acc, dacc, sem3,
+    *, block, halo, mv, mx, h_img, w_img, cols, has_keep,
+):
+    tf = pl.program_id(0)
+    i = pl.program_id(1)
+    in_rows = sr.shape[0] - 2 * mv
+    w = w_img
+
+    cps = []
+    stages = [(r_hbm, sr), (b_hbm, sb)] + ([(k_hbm, sk)] if has_keep else [])
+    for j, (hbm, scr) in enumerate(stages):
+        cp = pltpu.make_async_copy(
+            hbm.at[tf, pl.ds(i * block, in_rows), :],
+            scr.at[mv:mv + in_rows, :],
+            sem3.at[j],
+        )
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    # Merge: (r | b) & keep, in i32; out-of-image positions are 255 from
+    # the host pad (erode neutral).  Write into acc's full data rows.
+    rows = slice(0, sr.shape[0])
+    rv = sr[rows, :].astype(jnp.int32)
+    bv = sb[rows, :].astype(jnp.int32)
+    m = rv | bv
+    if has_keep:
+        m = m & sk[rows, :].astype(jnp.int32)
+    dacc[rows, :] = m  # dacc temporarily holds the merged binary
+
+    r = 2  # ellipse-5 radius
+    e_lo, e_n = mv + r, block + 2 * r
+    _morph(_read_of(dacc), w0, w1, acc, 5, jnp.minimum, 255,
+           mx, w, e_lo, e_n, mv, in_rows)
+
+    shape = (e_n, sr.shape[1])
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    grow = rows_i + e_lo - mv + i * block - halo
+    in_img = (
+        (grow >= 0) & (grow < h_img) & (cols_i >= mx) & (cols_i < mx + w_img)
+    )
+    acc[e_lo:e_lo + e_n, :] = jnp.where(in_img, acc[e_lo:e_lo + e_n, :], 0)
+
+    _morph(_read_of(acc), w0, w1, dacc, 5, jnp.maximum, 0,
+           mx, w, mv + 2 * r, block, e_lo, e_n)
+
+    s = mv + 2 * r
+    out_ref[0, :, mx:mx + w] = dacc[s:s + block, mx:mx + w].astype(jnp.uint8)
+
+
+def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
+                       interpret: bool = False):
+    """Channel merge (+ optional noise keep-mask AND) followed by the 5x5
+    elliptical open (lane_tracker.py:234-238), fused in one kernel.
+
+    Accepts (H, W) or (T, H, W); bit-exact with
+    ``open_ellipse((r|b)&keep, 5)``.
+    """
+    squeeze = r_th.ndim == 2
+    if squeeze:
+        r_th = r_th[None]
+        b_th = b_th[None]
+        keep = keep[None] if keep is not None else None
+    T, H, W = r_th.shape
+    halo = 4
+    if block is None:
+        block = _round_up(-(-H // 3), 8)
+    grid = -(-H // block)
+    mv = 16
+    mx = 64
+    cols = _round_up(W + 2 * mx, LANE)
+    in_rows = _round_up(block + 2 * halo, 8)
+    rows = in_rows + 2 * mv
+    has_keep = keep is not None
+
+    def pad(x, fill):
+        buf = jnp.full((T, grid * block + (in_rows - block), cols), fill,
+                       jnp.uint8)
+        return jax.lax.dynamic_update_slice(buf, x, (0, halo, mx))
+
+    # Out-of-image merge must read 255 (erode neutral): pad r and keep
+    # with 255 so (r | b) & keep = 255 there.
+    ins = [pad(r_th, 255), pad(b_th, 0),
+           pad(keep, 255) if has_keep else pad(r_th, 0)]
+
+    kernel = functools.partial(
+        _merge_open_kernel,
+        block=int(block), halo=int(halo), mv=int(mv), mx=int(mx),
+        h_img=int(H), w_img=int(W), cols=int(cols), has_keep=has_keep,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(T, grid),
+        out_shape=jax.ShapeDtypeStruct((T, grid * block, cols), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, cols), jnp.uint8),   # sr
+            pltpu.VMEM((rows, cols), jnp.uint8),   # sb
+            pltpu.VMEM((rows, cols), jnp.uint8),   # sk
+            pltpu.VMEM((rows, cols), jnp.int32),   # w0
+            pltpu.VMEM((rows, cols), jnp.int32),   # w1
+            pltpu.VMEM((rows, cols), jnp.int32),   # acc
+            pltpu.VMEM((rows, cols), jnp.int32),   # dacc
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*ins)
+    out = out[:, :H, mx:mx + W]
+    return out[0] if squeeze else out

@@ -36,7 +36,7 @@ def main(selected):
     from lane_tracker_tpu.tracker.step import (
         TrackerParams,
         back_half,
-        front_artifacts,
+        front_artifacts_batch,
         make_initial_state,
         render_frame,
     )
@@ -64,14 +64,14 @@ def main(selected):
     def prep(frames, p):
         def one(f):
             b_raw = rgb2lab_b_fast(f)
-            r, b = bilinear_gather_pair(f[..., 0], b_raw, p.grid_fused)
-            bin1 = filter_lane_points_channels(
-                r, b, filter_type=f1.filter_type, ksize_r=f1.ksize_r,
-                C_r=f1.C_r, ksize_b=f1.ksize_b, C_b=f1.C_b,
-                mask_noise=f1.mask_noise, ksize_noise=f1.ksize_noise,
-                C_noise=f1.C_noise, noise_thresh=f1.noise_thresh)
-            return r, b, bin1
-        return jax.vmap(one)(frames)
+            return bilinear_gather_pair(f[..., 0], b_raw, p.grid_fused)
+        r, b = jax.vmap(one)(frames)
+        bin1 = filter_lane_points_channels(
+            r, b, filter_type=f1.filter_type, ksize_r=f1.ksize_r,
+            C_r=f1.C_r, ksize_b=f1.ksize_b, C_b=f1.C_b,
+            mask_noise=f1.mask_noise, ksize_noise=f1.ksize_noise,
+            C_noise=f1.C_noise, noise_thresh=f1.noise_thresh)
+        return r, b, bin1
 
     r_ch, b_ch, bin1 = jax.block_until_ready(prep(chunk_d, params))
 
@@ -100,14 +100,26 @@ def main(selected):
     # --- filter stage (attempt 1, full) ---
     def filt_body(c, p):
         r, b = c
+        out = filter_lane_points_channels(
+            r, b, filter_type=f1.filter_type, ksize_r=f1.ksize_r,
+            C_r=f1.C_r, ksize_b=f1.ksize_b, C_b=f1.C_b,
+            mask_noise=f1.mask_noise, ksize_noise=f1.ksize_noise,
+            C_noise=f1.C_noise, noise_thresh=f1.noise_thresh)
+        d = dep_u8(out)
+        return (r ^ d, b ^ d)
+    stages["filter_full"] = (lambda: (r_ch, b_ch), filt_body)
+
+    def filt_xla_body(c, p):
+        r, b = c
         out = jax.vmap(lambda rr, bb: filter_lane_points_channels(
             rr, bb, filter_type=f1.filter_type, ksize_r=f1.ksize_r,
             C_r=f1.C_r, ksize_b=f1.ksize_b, C_b=f1.C_b,
             mask_noise=f1.mask_noise, ksize_noise=f1.ksize_noise,
-            C_noise=f1.C_noise, noise_thresh=f1.noise_thresh))(r, b)
+            C_noise=f1.C_noise, noise_thresh=f1.noise_thresh,
+            backend="xla"))(r, b)
         d = dep_u8(out)
         return (r ^ d, b ^ d)
-    stages["filter_full"] = (lambda: (r_ch, b_ch), filt_body)
+    stages["filter_full_xla"] = (lambda: (r_ch, b_ch), filt_xla_body)
 
     # --- filter sub-stages ---
     def tophat_r_body(c, p):
@@ -161,14 +173,14 @@ def main(selected):
 
     # --- front half total ---
     def front_body(c, p):
-        arts = jax.vmap(lambda f: front_artifacts(f, p, config))(c)
+        arts = front_artifacts_batch(c, p, config)
         d = (jnp.max(arts.pref.packed) & 1).astype(jnp.uint8)
         return c ^ d
     stages["front_total"] = (lambda: chunk_d, front_body)
 
     # --- back half scan ---
     arts0 = jax.jit(
-        lambda fr, p: jax.vmap(lambda f: front_artifacts(f, p, config))(fr)
+        lambda fr, p: front_artifacts_batch(fr, p, config)
     )(chunk_d, params)
     arts0 = jax.block_until_ready(arts0)
     state0 = make_initial_state(config, params.warped_size)

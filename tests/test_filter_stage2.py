@@ -126,3 +126,26 @@ def test_batched_matches_per_frame(channels):
         want = np.asarray(
             bilateral_threshold_pallas2(batch[t], 25, 8, interpret=True))
         np.testing.assert_array_equal(got[t], want)
+
+
+def test_merge_open_kernel_bit_exact(channels):
+    from lane_tracker_tpu.kernels.filter_stage2 import merge_open_pallas2
+    from lane_tracker_tpu.ops.morphology import open_ellipse
+
+    r, b = channels
+    r_th = np.asarray(bilateral_adaptive_threshold(
+        np.asarray(tophat_ellipse(r, 29)), ksize=25, C=8))
+    b_th = np.asarray(bilateral_adaptive_threshold(
+        np.asarray(tophat_ellipse(b, 55)), ksize=35, C=5))
+    keep = np.asarray(bilateral_threshold_pallas2(
+        b, 65, 10, noise_thresh=135, interpret=True))
+
+    merged = np.where((r_th > 0) | (b_th > 0), 255, 0).astype(np.uint8)
+    want = np.asarray(open_ellipse(merged, 5))
+    got = np.asarray(merge_open_pallas2(r_th, b_th, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+    merged2 = np.where(((r_th > 0) | (b_th > 0)) & (keep > 0), 255, 0).astype(np.uint8)
+    want2 = np.asarray(open_ellipse(merged2, 5))
+    got2 = np.asarray(merge_open_pallas2(r_th, b_th, keep, interpret=True))
+    np.testing.assert_array_equal(got2, want2)
