@@ -71,9 +71,9 @@ def main():
     def make_carry():
         return (state, chunk_d)
 
-    def body(carry):
+    def body(carry, p):
         st, ch = carry
-        st, outs = step_fn(st, ch, params)
+        st, outs = step_fn(st, ch, p)
         dep = (jnp.max(outs.overlay) & 1).astype(jnp.uint8)
         return (st, ch ^ dep)
 
@@ -84,7 +84,8 @@ def main():
     def step_fn(st, ch, p):
         return chunk_process(st, ch, p, config, True)
 
-    per_chunk, _rtt = device_time_per_iter(make_carry, body, n_iters=10)
+    per_chunk, _rtt = device_time_per_iter(
+        make_carry, body, n_iters=16, invariant=params)
     fps = T / per_chunk
 
     # Sanity: the tracker must actually be tracking on these frames.
