@@ -3,13 +3,13 @@ from lane_tracker_tpu.kernels.resample import (
     bilinear_gather,
     bilinear_gather_pair,
 )
-from lane_tracker_tpu.kernels.resample_mxu import MxuWarp
-from lane_tracker_tpu.kernels.filter_stage import filter_stage_pallas
+from lane_tracker_tpu.kernels.resample_mxu2 import MxuWarp2
+from lane_tracker_tpu.kernels.filter_stage2 import filter_stage_v2
 
 __all__ = [
     "ResampleGrid",
     "bilinear_gather",
     "bilinear_gather_pair",
-    "MxuWarp",
-    "filter_stage_pallas",
+    "MxuWarp2",
+    "filter_stage_v2",
 ]

@@ -48,9 +48,9 @@ def filter_lane_points_channels(
     Args:
         rgb_r: (H, W) uint8 R channel of the warped frame.
         lab_b: (H, W) uint8 LAB B channel of the warped frame.
-        backend: 'auto' | 'xla' | 'pallas'. The Pallas megakernel (TPU
-            only, bilateral mode) runs the whole chain over VMEM-resident
-            data; 'auto' selects it on TPU backends.
+        backend: 'auto' | 'xla' | 'pallas2'. The v2 stage kernels
+            (kernels/filter_stage2.py) run the chain VMEM-resident on
+            TPU; 'auto' selects them on accelerator platforms.
         (remaining args as documented on LaneTracker.process)
 
     Returns:
@@ -89,23 +89,6 @@ def filter_lane_points_channels(
             C_noise=C_noise,
             noise_thresh=noise_thresh,
         )
-    if filter_type == "bilateral" and backend != "xla":
-        use_pallas = backend == "pallas"
-        if use_pallas:
-            from lane_tracker_tpu.kernels.filter_stage import filter_stage_pallas
-
-            return filter_stage_pallas(
-                rgb_r,
-                lab_b,
-                ksize_r=ksize_r,
-                C_r=C_r,
-                ksize_b=ksize_b,
-                C_b=C_b,
-                mask_noise=mask_noise,
-                ksize_noise=ksize_noise,
-                C_noise=C_noise,
-                noise_thresh=noise_thresh,
-            )
     if filter_type == "bilateral":
         # Tophat feeds only the bilateral branch (the reference thresholds
         # the *raw* channels in 'neighborhood' mode, lane_tracker.py:216-218).

@@ -37,7 +37,7 @@ from lane_tracker_tpu.kernels.resample import (
     bilinear_gather,
     bilinear_gather_pair,
 )
-from lane_tracker_tpu.kernels.resample_mxu import MxuWarp
+from lane_tracker_tpu.kernels.resample_mxu2 import MxuWarp2
 from lane_tracker_tpu.ops.color import rgb2lab_b_fast, rgb2lab_b_u8
 from lane_tracker_tpu.ops.filters import filter_lane_points_channels
 from lane_tracker_tpu.ops.integrals import RowPrefixes, build_row_prefixes, interval_moments
@@ -50,6 +50,7 @@ from lane_tracker_tpu.ops.polyfit import (
     poly_points_meta,
 )
 from lane_tracker_tpu.ops.search import (
+    SearchIntervals,
     SwsPrecomp,
     band_intervals,
     sliding_window_intervals,
@@ -77,7 +78,7 @@ class TrackerParams:
     grid_und: ResampleGrid | None  # undistort (compat pipeline)
     grid_warp: ResampleGrid | None  # bird's-eye warp (compat pipeline)
     grid_fused: ResampleGrid | None  # fused undistort+warp (fast pipeline)
-    mxu_warp: MxuWarp | None  # matmul fused warp (mxu pipeline)
+    mxu_warp: MxuWarp2 | None  # banded matmul fused warp (mxu pipeline)
     unwarp_grid: ResampleGrid  # bird's-eye -> camera view (compat render)
     fwd_u: jnp.ndarray  # (Hc, Wc) f32 — camera pixel's BV x (direct render)
     fwd_v: jnp.ndarray  # (Hc, Wc) f32 — camera pixel's BV y
@@ -86,7 +87,7 @@ class TrackerParams:
     mppv: float
     mpph: float
     pipeline: str  # 'fast' | 'compat'
-    filter_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    filter_backend: str = "auto"  # 'auto' | 'xla' | 'pallas2'
 
     def tree_flatten(self):
         children = (
@@ -149,9 +150,9 @@ class TrackerParams:
                 )
             )
             if pipeline == "mxu":
-                # One-time host build (~4 min at full geometry): the warp as
-                # two MXU interpolation-matrix products.
-                mxu = MxuWarp.build(
+                # Banded two-pass matmul warp: ~15 MB resident, seconds of
+                # host build (kernels/resample_mxu2.py).
+                mxu = MxuWarp2.build(
                     cam_matrix, dist_coeffs, np.asarray(M), img_size, warped_size
                 )
         else:
@@ -222,7 +223,7 @@ def _warp_channels(frame, params: TrackerParams):
 
 
 def _run_attempt(state: TrackerState, cfg: TrackerConfig, scfg, params,
-                 ploty_validity, pref: RowPrefixes, sws_pre: SwsPrecomp
+                 ploty_validity, pref: RowPrefixes, iv_sws
                  ) -> AttemptResult:
     """One search+fit+validate attempt (reference find_lane_points + fit +
     check_validity, lane_tracker.py:795-874, 1064-1068).
@@ -237,10 +238,10 @@ def _run_attempt(state: TrackerState, cfg: TrackerConfig, scfg, params,
     def do_band(_):
         return band_intervals(state.last_left, state.last_right, scfg, H, W)
 
-    def do_sws(_):
-        return sliding_window_intervals(sws_pre, scfg, H, W)
-
-    iv = jax.lax.cond(use_band, do_band, do_sws, None)
+    # The blind sliding-window intervals are state-free and arrive
+    # precomputed from the batched front half; only the warm-start band
+    # (a function of the carried fit) is computed in the scan.
+    iv = jax.lax.cond(use_band, do_band, lambda _: iv_sws, None)
     ln, lsx = interval_moments(pref, iv.left_lo, iv.left_hi, iv.left_valid)
     rn, rsx = interval_moments(pref, iv.right_lo, iv.right_hi, iv.right_valid)
     detected = (ln.sum() > 0) & (rn.sum() > 0)
@@ -291,9 +292,9 @@ class FrontArtifacts(NamedTuple):
     r_chan: jnp.ndarray  # (H, W) u8 warped R channel
     b_chan: jnp.ndarray  # (H, W) u8 warped LAB-B channel
     pref: RowPrefixes  # prefix count/x-sum of the attempt-1 binary
-    sws: SwsPrecomp  # attempt-1 sliding-window tensors
+    iv_sws: "SearchIntervals"  # attempt-1 blind-search intervals (state-free)
     pref2: RowPrefixes | None = None  # hoisted attempt-2 binary prefixes
-    sws2: SwsPrecomp | None = None  # hoisted attempt-2 sliding-window tensors
+    iv_sws2: "SearchIntervals | None" = None  # hoisted attempt-2 intervals
 
 
 def _second_attempt_binary(r_chan, b_chan, params: TrackerParams):
@@ -365,25 +366,35 @@ def front_artifacts_batch(
     invoked ONCE on the whole batch so grid-batched Pallas backends work;
     bit-identical to the per-frame path for every backend.
     """
-    r_chan, b_chan = jax.vmap(lambda f: _warp_channels(f, params))(frames)
+    if params.pipeline == "mxu":
+        # The banded matmul warp batches natively over T (its pass-2
+        # Pallas grid cannot vmap), like the pallas2 filter below.
+        b_raw = jax.vmap(rgb2lab_b_fast)(frames)
+        both = params.mxu_warp(jnp.stack([frames[..., 0], b_raw], axis=1))
+        r_chan, b_chan = both[:, 0], both[:, 1]
+    else:
+        r_chan, b_chan = jax.vmap(lambda f: _warp_channels(f, params))(frames)
     binary1 = _filter_batch(r_chan, b_chan, config.filter,
                             params.filter_backend)
+    W, H = params.warped_size
     pref = jax.vmap(build_row_prefixes)(binary1)
-    sws = jax.vmap(lambda b: sws_precompute(b, config.search))(binary1)
-    pref2 = sws2 = None
+    iv_sws = jax.vmap(lambda b: sliding_window_intervals(
+        sws_precompute(b, config.search), config.search, H, W))(binary1)
+    pref2 = iv2 = None
     if hoist_second_attempt and (config.n_tries >= 2 or config.n_tries == -1):
         binary2 = _filter_batch(r_chan, b_chan, SECOND_ATTEMPT.filter,
                                 params.filter_backend)
         pref2 = jax.vmap(build_row_prefixes)(binary2)
-        sws2 = jax.vmap(lambda b: sws_precompute(b, SECOND_ATTEMPT.search))(
-            binary2)
+        iv2 = jax.vmap(lambda b: sliding_window_intervals(
+            sws_precompute(b, SECOND_ATTEMPT.search),
+            SECOND_ATTEMPT.search, H, W))(binary2)
     return FrontArtifacts(
         r_chan=r_chan,
         b_chan=b_chan,
         pref=pref,
-        sws=sws,
+        iv_sws=iv_sws,
         pref2=pref2,
-        sws2=sws2,
+        iv_sws2=iv2,
     )
 
 
@@ -403,19 +414,23 @@ def front_artifacts(
     conditional re-filter would otherwise run for every frame anyway —
     serially, after the batched front half.
     """
+    W, H = params.warped_size
     r_chan, b_chan, binary1 = front_half(frame, params, config)
-    pref2 = sws2 = None
+    pref2 = iv2 = None
     if hoist_second_attempt and (config.n_tries >= 2 or config.n_tries == -1):
         binary2 = _second_attempt_binary(r_chan, b_chan, params)
         pref2 = build_row_prefixes(binary2)
-        sws2 = sws_precompute(binary2, SECOND_ATTEMPT.search)
+        iv2 = sliding_window_intervals(
+            sws_precompute(binary2, SECOND_ATTEMPT.search),
+            SECOND_ATTEMPT.search, H, W)
     return FrontArtifacts(
         r_chan=r_chan,
         b_chan=b_chan,
         pref=build_row_prefixes(binary1),
-        sws=sws_precompute(binary1, config.search),
+        iv_sws=sliding_window_intervals(
+            sws_precompute(binary1, config.search), config.search, H, W),
         pref2=pref2,
-        sws2=sws2,
+        iv_sws2=iv2,
     )
 
 
@@ -486,7 +501,8 @@ def back_half(
     ploty_render = ploty_grid(params.warped_size, config.search.partial)
 
     a1 = _run_attempt(
-        state, config, config.search, params, ploty_validity, art.pref, art.sws
+        state, config, config.search, params, ploty_validity, art.pref,
+        art.iv_sws,
     )
 
     if config.n_tries >= 2 or config.n_tries == -1:
@@ -501,7 +517,7 @@ def back_half(
                 params,
                 ploty_validity,
                 art.pref2,
-                art.sws2,
+                art.iv_sws2,
             )
             a = jax.tree_util.tree_map(
                 lambda x, y: jnp.where(a1.valid, x, y), a1, a2
@@ -517,7 +533,9 @@ def back_half(
                     params,
                     ploty_validity,
                     build_row_prefixes(binary2),
-                    sws_precompute(binary2, SECOND_ATTEMPT.search),
+                    sliding_window_intervals(
+                        sws_precompute(binary2, SECOND_ATTEMPT.search),
+                        SECOND_ATTEMPT.search, H, W),
                 )
 
             a = jax.lax.cond(a1.valid, lambda _: a1, second, None)

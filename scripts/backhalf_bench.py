@@ -100,9 +100,8 @@ def main():
     timed("band_intervals", band_only, z)
 
     def sws_only(s, a, p):
-        iv = sliding_window_intervals(a.sws, scfg, H, W)
-        return s + dep(iv.left_lo), None
-    timed("sliding_window_intervals", sws_only, z)
+        return s + dep(a.iv_sws.left_lo), None
+    timed("hoisted_sws_intervals_read", sws_only, z)
 
     def moments_only(s, a, p):
         iv = band_intervals(jnp.asarray([0., 0., 480.], jnp.float32),
