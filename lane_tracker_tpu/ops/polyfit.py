@@ -53,55 +53,60 @@ def fit_poly_rows(row_n: jnp.ndarray, row_sx: jnp.ndarray, W: int) -> jnp.ndarra
     pixel in a row shares its y), so (row_n, row_sx) fully determine the
     fit — this is what lets the chunk pipeline's sequential back half run
     on prefix-sum interval lookups (ops/integrals.py) instead of masks.
+
+    Accepts (H,) inputs -> (3,) coefficients, or (..., H) batches ->
+    (..., 3): the sequential back half stacks the left/right sides into
+    one call so every reduction and the 3x3 solve run once per step.
     """
-    H = row_n.shape[0]
+    H = row_n.shape[-1]
     row_n = row_n.astype(jnp.float32)
     row_sx = row_sx.astype(jnp.float32)
     ys = jnp.arange(H, dtype=jnp.float32)
-    n = row_n.sum()
+    n = row_n.sum(-1)
     n_safe = jnp.maximum(n, 1.0)
 
     # Standardize y by data moments for conditioning.
-    my = (row_n @ ys) / n_safe
-    vy = (row_n @ (ys * ys)) / n_safe - my * my
+    my = (row_n * ys).sum(-1) / n_safe
+    vy = (row_n * (ys * ys)).sum(-1) / n_safe - my * my
     sy = jnp.sqrt(jnp.maximum(vy, 1e-12))
-    t = (ys - my) / sy
+    t = (ys - my[..., None]) / sy[..., None]
 
     # Center x (scale by W for magnitude only).
-    mx = row_sx.sum() / n_safe
-    u_row = (row_sx - row_n * mx) / W  # sum of u over each row
+    mx = row_sx.sum(-1) / n_safe
+    u_row = (row_sx - row_n * mx[..., None]) / W  # sum of u over each row
 
     t2 = t * t
-    S1 = row_n @ t
-    S2 = row_n @ t2
-    S3 = row_n @ (t2 * t)
-    S4 = row_n @ (t2 * t2)
-    P0 = u_row.sum()
-    P1 = u_row @ t
-    P2 = u_row @ t2
+    S1 = (row_n * t).sum(-1)
+    S2 = (row_n * t2).sum(-1)
+    S3 = (row_n * (t2 * t)).sum(-1)
+    S4 = (row_n * (t2 * t2)).sum(-1)
+    P0 = u_row.sum(-1)
+    P1 = (u_row * t).sum(-1)
+    P2 = (u_row * t2).sum(-1)
 
     M = jnp.stack(
         [
-            jnp.stack([S4, S3, S2]),
-            jnp.stack([S3, S2, S1]),
-            jnp.stack([S2, S1, n]),
-        ]
+            jnp.stack([S4, S3, S2], axis=-1),
+            jnp.stack([S3, S2, S1], axis=-1),
+            jnp.stack([S2, S1, n], axis=-1),
+        ],
+        axis=-2,
     )
-    b = jnp.stack([P2, P1, P0])
+    b = jnp.stack([P2, P1, P0], axis=-1)
     # Degenerate masks (fewer than 3 points) would make the solve singular;
     # substitute the identity so the result stays finite. Callers gate on
     # detection flags, matching the reference which never fits empty sets.
     degenerate = n < 3.0
-    M = jnp.where(degenerate, jnp.eye(3, dtype=jnp.float32), M)
-    b = jnp.where(degenerate, jnp.zeros((3,), jnp.float32), b)
-    abc = jnp.linalg.solve(M, b[:, None])[:, 0]  # u = a t^2 + b t + c
-    a, bb, c = abc[0], abc[1], abc[2]
+    M = jnp.where(degenerate[..., None, None], jnp.eye(3, dtype=jnp.float32), M)
+    b = jnp.where(degenerate[..., None], jnp.zeros((3,), jnp.float32), b)
+    abc = jnp.linalg.solve(M, b[..., None])[..., 0]  # u = a t^2 + b t + c
+    a, bb, c = abc[..., 0], abc[..., 1], abc[..., 2]
 
     # Back-transform: x = W*(a ((y-my)/sy)^2 + b (y-my)/sy + c) + mx
     A = W * a / (sy * sy)
     B = W * (bb / sy - 2.0 * a * my / (sy * sy))
     C = W * (a * my * my / (sy * sy) - bb * my / sy + c) + mx
-    return jnp.stack([A, B, C])
+    return jnp.stack([A, B, C], axis=-1)
 
 
 class PolyPoints(NamedTuple):
@@ -130,14 +135,18 @@ def ploty_grid(warped_size, partial: float) -> jnp.ndarray:
 
 
 def poly_points_meta(coeffs: jnp.ndarray, ploty: jnp.ndarray, warped_size) -> PolyPoints:
+    """Accepts (3,) coefficients or an (..., 3) batch; field shapes follow
+    (the back half stacks left/right so both sides sample in one call)."""
     W = int(warped_size[0])
     c = coeffs.astype(jnp.float32)
-    fitx = c[0] * ploty * ploty + c[1] * ploty + c[2]
+    fitx = (
+        c[..., 0:1] * ploty * ploty + c[..., 1:2] * ploty + c[..., 2:3]
+    )
     inb = (fitx <= W - 1) & (fitx >= 0)
-    n = jnp.sum(inb.astype(jnp.int32))
+    n = jnp.sum(inb.astype(jnp.int32), axis=-1)
     m = ploty.shape[0]
     idx = jnp.arange(m)
-    first = jnp.min(jnp.where(inb, idx, m)).astype(jnp.int32)
+    first = jnp.min(jnp.where(inb, idx, m), axis=-1).astype(jnp.int32)
     return PolyPoints(fitx=fitx, inb=inb, n=n, first=first)
 
 

@@ -8,10 +8,17 @@ steps in lockstep chunks:
     states:  pytree with leading (S,) axis, sharded over the 'stream' mesh axis
     frames:  (S, T, Hc, Wc, 3) uint8, sharded on S
 
-Streams are independent, so the jitted fleet step induces zero cross-chip
-traffic except the final metrics reduction (a psum over the mesh).  With S
-a multiple of the device count, each chip runs S/n_devices streams' chunk
-pipelines locally.
+The fleet step is a ``shard_map`` over the mesh: each chip flattens its
+local (S_local, T) frames into ONE (S_local*T) batch for the stateless
+front half — so the grid-batched Pallas filter kernels run exactly as in
+single-stream serving, instead of a vmapped XLA fallback — and only the
+tiny O(H)-per-frame back-half scan runs vmapped per stream.  Streams are
+independent, so the only cross-chip traffic is the final metrics psum.
+
+(Round-1 design vmapped whole chunk pipelines over streams: the scanned
+second-attempt lax.cond became an executed-both-sides O(H*W) re-filter —
+148 fps aggregate — and the vmapped filter could not use the Pallas
+kernels at all.)
 """
 
 from __future__ import annotations
@@ -24,38 +31,73 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from lane_tracker_tpu.parallel.mesh import replicate, stream_mesh
-from lane_tracker_tpu.parallel.pipeline import chunk_process
 from lane_tracker_tpu.tracker.config import TrackerConfig
-from lane_tracker_tpu.tracker.step import TrackerParams, make_initial_state
+from lane_tracker_tpu.tracker.step import (
+    TrackerParams,
+    back_half,
+    front_artifacts_batch,
+    make_initial_state,
+    render_frame,
+)
 from lane_tracker_tpu.tracker.state import TrackerState
 
 
 @functools.lru_cache(maxsize=16)
-def build_fleet_processor(config: TrackerConfig, with_overlay: bool = False):
+def build_fleet_processor(config: TrackerConfig, mesh, with_overlay: bool = False):
     """jit fn: (states(S,...), frames(S,T,...), params) -> (states, outs, metrics).
 
-    metrics is a dict of fleet-aggregated scalars (summed across every
-    stream on every chip — under sharding this lowers to an ICI psum).
+    metrics is a dict of fleet-aggregated scalars (psum'd across the
+    'stream' mesh axis over ICI).
     """
+    from jax.experimental.shard_map import shard_map
 
-    def fleet(states, frames, params):
-        # hoist_second_attempt: under vmap the scanned second-attempt
-        # lax.cond would execute both sides per frame *inside the scan*;
-        # hoisting moves that filter into the batched front half instead.
-        states, outs = jax.vmap(
-            lambda st, fr: chunk_process(
-                st, fr, params, config, with_overlay, hoist_second_attempt=True
+    def fleet_local(states, frames, params):
+        S, T = frames.shape[0], frames.shape[1]
+        flat = frames.reshape((S * T,) + frames.shape[2:])
+        arts = front_artifacts_batch(
+            flat, params, config, hoist_second_attempt=True
+        )
+        arts = jax.tree_util.tree_map(
+            lambda x: x.reshape((S, T) + x.shape[1:]), arts
+        )
+
+        def scan_one(st, art):
+            def body(s, a):
+                s, out, meta = back_half(s, a, params, config)
+                return s, (out, meta)
+
+            return jax.lax.scan(body, st, art)
+
+        states, (outs, metas) = jax.vmap(scan_one)(states, arts)
+        if with_overlay:
+            metas_flat = jax.tree_util.tree_map(
+                lambda x: x.reshape((S * T,) + x.shape[2:]), metas
             )
-        )(states, frames)
-        metrics = {
+            overlays = jax.vmap(
+                lambda f, m: render_frame(f, m, params, config)
+            )(flat, metas_flat)
+            outs = outs._replace(
+                overlay=overlays.reshape((S, T) + overlays.shape[1:])
+            )
+        local = {
             "frames": jnp.asarray(outs.valid.size, jnp.int32),
             "valid_frames": outs.valid.sum().astype(jnp.int32),
             "detected_frames": outs.detected.sum().astype(jnp.int32),
             "second_attempts": (outs.n_attempts > 1).sum().astype(jnp.int32),
         }
+        metrics = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, "stream"), local
+        )
         return states, outs, metrics
 
-    return jax.jit(fleet)
+    fn = shard_map(
+        fleet_local,
+        mesh=mesh,
+        in_specs=(P("stream"), P("stream"), P()),
+        out_specs=(P("stream"), P("stream"), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
 
 
 class StreamFleet:
@@ -69,20 +111,17 @@ class StreamFleet:
         mesh=None,
         with_overlay: bool = False,
     ):
-        import dataclasses
-
-        if params.filter_backend in ("pallas2", "auto"):
-            # The fleet vmaps chunk_process over streams and grid-batched
-            # Pallas calls cannot vmap ('auto' resolves to pallas2 on
-            # TPU); force the XLA filter here (streams-per-chip is the
-            # sharded configuration anyway).
-            params = dataclasses.replace(params, filter_backend="xla")
         self.params = params
         self.config = config
         self.n_streams = int(n_streams)
         self.mesh = mesh if mesh is not None else stream_mesh()
+        n_dev = self.mesh.shape["stream"]
+        if self.n_streams % n_dev:
+            raise ValueError(
+                f"n_streams={n_streams} must divide over {n_dev} devices"
+            )
         self.with_overlay = with_overlay
-        self._fn = build_fleet_processor(config, with_overlay)
+        self._fn = build_fleet_processor(config, self.mesh, with_overlay)
 
         single = make_initial_state(config, params.warped_size)
         states = jax.tree_util.tree_map(

@@ -245,19 +245,24 @@ def _run_attempt(state: TrackerState, cfg: TrackerConfig, scfg, params,
     ln, lsx = interval_moments(pref, iv.left_lo, iv.left_hi, iv.left_valid)
     rn, rsx = interval_moments(pref, iv.right_lo, iv.right_hi, iv.right_valid)
     detected = (ln.sum() > 0) & (rn.sum() > 0)
-    lc = fit_poly_rows(ln, lsx, W)
-    rc = fit_poly_rows(rn, rsx, W)
-    ml = poly_points_meta(lc, ploty_validity, params.warped_size)
-    mr = poly_points_meta(rc, ploty_validity, params.warped_size)
-    validity = check_validity(lc, rc, ml.n, mr.n, params.warped_size, cfg.validity)
+    # Both sides fit and sample in ONE stacked call: every reduction and
+    # the 3x3 solve run once per scan step instead of twice.
+    coeffs = fit_poly_rows(
+        jnp.stack([ln, rn]), jnp.stack([lsx, rsx]), W
+    )
+    meta = poly_points_meta(coeffs, ploty_validity, params.warped_size)
+    lc, rc = coeffs[0], coeffs[1]
+    validity = check_validity(
+        lc, rc, meta.n[0], meta.n[1], params.warped_size, cfg.validity
+    )
     return AttemptResult(
         detected=detected,
         valid=detected & validity,
         lc=lc,
         rc=rc,
         search_mode=jnp.where(use_band, jnp.int32(1), jnp.int32(0)),
-        n_left=ml.n,
-        n_right=mr.n,
+        n_left=meta.n[0],
+        n_right=meta.n[1],
     )
 
 
@@ -567,8 +572,13 @@ def back_half(
     has_avg = state.has_avg | valid
 
     # ---- Render geometry from the smoothed fit (success only) ----
-    ml = poly_points_meta(avg_left_new, ploty_render, params.warped_size)
-    mr = poly_points_meta(avg_right_new, ploty_render, params.warped_size)
+    # One stacked sampling call for both sides (see _run_attempt).
+    mrender = poly_points_meta(
+        jnp.stack([avg_left_new, avg_right_new]), ploty_render,
+        params.warped_size,
+    )
+    ml = jax.tree_util.tree_map(lambda x: x[0], mrender)
+    mr = jax.tree_util.tree_map(lambda x: x[1], mrender)
     # State render arrays are padded to H samples so their shape does not
     # depend on config.search.partial (configs may change mid-stream).
     pad = H - ml.fitx.shape[0]

@@ -23,7 +23,6 @@ def main(argv):
     from PIL import Image
 
     from lane_tracker_tpu.calib.io import load_calibration_npz
-    from lane_tracker_tpu.parallel.pipeline import chunk_process
     from lane_tracker_tpu.tracker.config import PRESETS
     from lane_tracker_tpu.tracker.step import TrackerParams, make_initial_state
     from lane_tracker_tpu.utils.timing import device_time_per_iter
@@ -44,10 +43,11 @@ def main(argv):
         configs = [(int(argv[i]), int(argv[i + 1]))
                    for i in range(0, len(argv), 2)]
 
-    import dataclasses
+    from jax.sharding import Mesh
 
-    # vmapped streams cannot run the grid-batched pallas2 filter.
-    params_fleet = dataclasses.replace(params, filter_backend="xla")
+    from lane_tracker_tpu.parallel.streams import build_fleet_processor
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), axis_names=("stream",))
 
     for S, T in configs:
         frames = np.stack([
@@ -58,19 +58,17 @@ def main(argv):
         single = make_initial_state(config, params.warped_size)
         states0 = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (S, *x.shape)), single)
+        fleet = build_fleet_processor(config, mesh, with_overlay=True)
 
         def body(c, p):
             states, fr = c
-            states, outs = jax.vmap(
-                lambda st, f: chunk_process(
-                    st, f, p, config, True, hoist_second_attempt=True)
-            )(states, fr)
+            states, outs, metrics = fleet(states, fr, p)
             d = (outs.overlay.max() & 1).astype(jnp.uint8)
             return (states, fr ^ d)
 
         per_iter, _ = device_time_per_iter(
             lambda: (states0, frames_d), body, n_iters=8, repeats=3,
-            invariant=params_fleet)
+            invariant=params)
         frames_per_call = S * T
         fps = frames_per_call / per_iter
         print(json.dumps({
