@@ -43,8 +43,8 @@ def build_arg_parser():
         "--pipeline",
         default="fast",
         choices=["fast", "mxu", "compat"],
-        help="fused single-gather warp (fast), matmul warp (mxu, ~5 GB "
-        "weights + minutes of one-time build), or reference-exact chain",
+        help="fused single-gather warp (fast), banded matmul warp (mxu), "
+        "or reference-exact chain (compat)",
     )
     p.add_argument("--n-fail", type=int, default=8)
     p.add_argument("--n-reset", type=int, default=4)
@@ -57,6 +57,13 @@ def build_arg_parser():
         help="write a JSONL line per frame (mode, validity, radius, ecc)",
     )
     p.add_argument("--profile-dir", default=None, help="capture a jax profiler trace")
+    p.add_argument(
+        "--no-output",
+        action="store_true",
+        help="headless: skip overlay rendering/fetch/encode, keep metrics "
+        "and per-frame logs (throughput mode for remote backends where "
+        "fetching 2.7 MB/frame of pixels dominates)",
+    )
     return p
 
 
@@ -96,35 +103,37 @@ def run(argv=None):
         raise ValueError(
             f"input frames are {src.size}, calibration expects {params.img_size}"
         )
-    sink = open_sink(args.output, src.size, src.fps)
+    sink = None if args.no_output else open_sink(args.output, src.size, src.fps)
 
-    step = build_chunk_processor(config, with_overlay=True)
+    step = build_chunk_processor(config, with_overlay=not args.no_output)
     state = make_initial_state(config, params.warped_size)
     meter = FpsMeter()
     total = valid_total = 0
     frame_log = open(args.per_frame_log, "w") if args.per_frame_log else None
 
-    def drain(outs, n_valid, base):
+    def drain(outs, n_valid, base, metered=True):
         """Materialize one chunk's device outputs and do all host work."""
         nonlocal valid_total
-        overlays = np.array(outs.overlay)  # writable copy for annotation
-        meter.add(n_valid)
-        # Host-side annotation (text never feeds back into tracking).
+        if metered:
+            meter.add(n_valid)
         radii = np.asarray(outs.radius)
         eccs = np.asarray(outs.ecc)
         modes = np.asarray(outs.render_mode)
-        for t in range(n_valid):
-            f = overlays[t]
-            if modes[t] == 0:
-                draw_text(f, f"Curve Radius: {int(radii[t])} m", (20, 35))
-                draw_text(f, f"Eccentricity: {eccs[t]:.2f} m", (20, 70))
-                if args.print_frame_count:
-                    draw_text(f, f"Frame: {base + t}", (20, 105))
-            else:
-                draw_text(f, "Lane Line Detection Failed", (20, 35))
-                if args.print_frame_count:
-                    draw_text(f, f"Frame: {base + t}", (20, 70))
-        sink.write(overlays, n_valid)
+        if sink is not None:
+            overlays = np.array(outs.overlay)  # writable copy for annotation
+            # Host-side annotation (text never feeds back into tracking).
+            for t in range(n_valid):
+                f = overlays[t]
+                if modes[t] == 0:
+                    draw_text(f, f"Curve Radius: {int(radii[t])} m", (20, 35))
+                    draw_text(f, f"Eccentricity: {eccs[t]:.2f} m", (20, 70))
+                    if args.print_frame_count:
+                        draw_text(f, f"Frame: {base + t}", (20, 105))
+                else:
+                    draw_text(f, "Lane Line Detection Failed", (20, 35))
+                    if args.print_frame_count:
+                        draw_text(f, f"Frame: {base + t}", (20, 70))
+            sink.write(overlays, n_valid)
         if frame_log is not None:
             valids = np.asarray(outs.valid)
             detected = np.asarray(outs.detected)
@@ -154,24 +163,36 @@ def run(argv=None):
         # annotation + encode of one chunk overlap the device compute of
         # the next (and the native loader's prefetch overlaps both).
         pending = None
+        first = True
         for chunk, n_valid in src.chunks(args.chunk):
             state, outs = step(state, chunk, params)
+            if first:
+                # Steady-state meter: the first chunk's dispatch includes
+                # the one-time jit compile (tens of seconds on a remote
+                # backend), which would swamp a short run's fps; its
+                # frames are excluded from the meter too.
+                import jax
+
+                jax.block_until_ready(outs.valid)
+                meter.reset()
             if pending is not None:
                 drain(*pending)
-            pending = (outs, n_valid, total)
+            pending = (outs, n_valid, total, not first)
             total += n_valid
+            first = False
         if pending is not None:
             drain(*pending)
 
     src.close()
-    sink.close()
+    if sink is not None:
+        sink.close()
     if frame_log is not None:
         frame_log.close()
 
     ratio = valid_total / max(total, 1)
     print(f"Success ratio:  {ratio}")
     print(f"Success absolute:  {valid_total}")
-    print(f"Frames: {total} at {meter.fps():.1f} fps end-to-end")
+    print(f"Frames: {total} at {meter.fps():.1f} fps end-to-end (steady-state, first chunk excluded)")
     if args.metrics_json:
         with open(args.metrics_json, "w") as f:
             json.dump(
