@@ -48,7 +48,7 @@ def main():
     )
     config = PRESETS["demo1"]
 
-    T = 128  # frames per chunk (throughput mode; latency-sensitive
+    T = int(__import__("os").environ.get("BENCH_T", "256"))  # frames per chunk (throughput mode; latency-sensitive
     # serving would use smaller chunks at some fps cost)
     names = ["frame911.jpg", "frame971.jpg", "test4.jpg", "straight_lines1.jpg"]
     imgs = [np.asarray(Image.open(f"assets/{n}").convert("RGB")) for n in names]
