@@ -44,7 +44,7 @@ def main():
         warp.warped_width_height,
         warp.mppv,
         warp.mpph,
-        pipeline="fast",
+        pipeline=__import__("os").environ.get("BENCH_PIPELINE", "fast"),
     )
     config = PRESETS["demo1"]
 

@@ -90,16 +90,13 @@ class MxuWarp2:
     v_base: jnp.ndarray  # (Ho, Ws) i32 — flat y0*Ws + xs (clipped)
     v_w0: jnp.ndarray  # (Ho, Ws) f32 — 1-fy (0 where out of range)
     v_w1: jnp.ndarray  # (Ho, Ws) f32 — fy
-    x0: jnp.ndarray  # (Ho, Wo_pad) i32 — left tap column (clipped)
-    h_w0: jnp.ndarray  # (Ho, Wo_pad) f32 — 1-fx (0 where OOB)
-    h_w1: jnp.ndarray  # (Ho, Wo_pad) f32 — fx
+    wpack: jnp.ndarray  # (Ho, n_tiles, 4, LANE) f32 — per-tile [x0, w0, w1, 0]
     tile_base: jnp.ndarray  # (Ho * n_tiles,) i32 — per-tile band start
     geom: tuple  # (Ws, Hs, Wo, Ho, band) static
 
     def tree_flatten(self):
         return (
-            (self.v_base, self.v_w0, self.v_w1, self.x0, self.h_w0,
-             self.h_w1, self.tile_base),
+            (self.v_base, self.v_w0, self.v_w1, self.wpack, self.tile_base),
             self.geom,
         )
 
@@ -109,10 +106,12 @@ class MxuWarp2:
 
     @classmethod
     def build(cls, cam_matrix, dist_coeffs, M, src_size, dst_size,
-              band: int = 512) -> "MxuWarp2":
+              band: int = 640) -> "MxuWarp2":
         Ws, Hs = int(src_size[0]), int(src_size[1])
         Wo, Ho = int(dst_size[0]), int(dst_size[1])
-        band = min(int(band), Ws)  # small geometries: whole rows fit
+        band = min(-(-int(band) // LANE) * LANE, -(-Ws // LANE) * LANE, max(Ws, LANE))
+        band = min(band, Ws) if Ws % LANE == 0 else min(band, Ws)
+        # small geometries: whole (lane-aligned) rows fit
         Wo_pad = -(-Wo // LANE) * LANE
         n_tiles = Wo_pad // LANE
 
@@ -151,23 +150,30 @@ class MxuWarp2:
         hw1 = np.where(x0 < 0, 0.0, np.where(x0 > Ws - 2, h_tap0, h_tap1))
         x0c = np.clip(x0, 0, Ws - 2).astype(np.int64)
 
-        # Per-(z, tile) band start; assert the band covers every tap.
+        # Per-(z, tile) band start, 128-aligned (Mosaic DMA slices on the
+        # lane dimension must be tile-aligned); assert coverage.
         tile_base = np.zeros((Ho, n_tiles), np.int64)
         for j in range(n_tiles):
             seg = x0c[:, j * LANE:(j + 1) * LANE]
-            lo = seg.min(axis=1)
+            lo = (seg.min(axis=1) // LANE) * LANE
             hi = seg.max(axis=1) + 1
             assert int((hi - lo).max()) + 1 <= band, (
                 f"band {band} too small: needs {(hi - lo).max() + 1}")
             tile_base[:, j] = np.clip(lo, 0, max(Ws - band, 0))
 
+        # Pack the pass-2 tile data [x0 (as f32, exact <= Ws), w0, w1, 0]
+        # into one DMA-able plane: Mosaic's block mappings reject (1, 128)
+        # VMEM blocks, so the kernel copies each tile's (4, 128) slab via
+        # an explicit DMA instead.
+        wpack = np.zeros((Ho, n_tiles, 4, LANE), np.float32)
+        wpack[:, :, 0, :] = x0c.reshape(Ho, n_tiles, LANE)
+        wpack[:, :, 1, :] = hw0.reshape(Ho, n_tiles, LANE)
+        wpack[:, :, 2, :] = hw1.reshape(Ho, n_tiles, LANE)
         return cls(
             v_base=jnp.asarray(v_base),
             v_w0=jnp.asarray(w0.astype(np.float32)),
             v_w1=jnp.asarray(w1.astype(np.float32)),
-            x0=jnp.asarray(x0c.astype(np.int32)),
-            h_w0=jnp.asarray(hw0.astype(np.float32)),
-            h_w1=jnp.asarray(hw1.astype(np.float32)),
+            wpack=jnp.asarray(wpack),
             tile_base=jnp.asarray(tile_base.reshape(-1).astype(np.int32)),
             geom=(Ws, Hs, Wo, Ho, int(band)),
         )
@@ -205,31 +211,37 @@ class MxuWarp2:
             return out[0]
         Ws, Hs, Wo, Ho, band = self.geom
         t1r, t1b = jax.vmap(lambda fr: self._pass1(fr[0], fr[1]))(imgs)
+        # (T, Ho, Ws) -> (Ho, T, Ws): pass-2 DMAs a (T, band) slab per
+        # output row, which must be the (full, lane-aligned) last two dims.
+        t1r = jnp.transpose(t1r, (1, 0, 2))
+        t1b = jnp.transpose(t1b, (1, 0, 2))
         out = _pass2_call(
-            t1r, t1b, self.x0, self.h_w0, self.h_w1, self.tile_base,
-            self.geom, interpret,
+            t1r, t1b, self.wpack, self.tile_base, self.geom, interpret,
         )
         return out[..., :Wo]
 
 
-def _pass2_kernel(base_ref, t1r_hbm, t1b_hbm, x0_ref, w0_ref, w1_ref,
-                  out_ref, sr, sb, sem, *, band, T, n_tiles):
+def _pass2_kernel(base_ref, t1r_hbm, t1b_hbm, wpack_hbm,
+                  out_ref, sr, sb, sw, sem, *, band, T, n_tiles):
     z = pl.program_id(0)
     j = pl.program_id(1)
-    base = base_ref[z * n_tiles + j]
+    base = pl.multiple_of(base_ref[z * n_tiles + j], LANE)
 
     cpr = pltpu.make_async_copy(
-        t1r_hbm.at[:, z, pl.ds(base, band)], sr, sem.at[0])
+        t1r_hbm.at[z, :, pl.ds(base, band)], sr, sem.at[0])
     cpb = pltpu.make_async_copy(
-        t1b_hbm.at[:, z, pl.ds(base, band)], sb, sem.at[1])
+        t1b_hbm.at[z, :, pl.ds(base, band)], sb, sem.at[1])
+    cpw = pltpu.make_async_copy(wpack_hbm.at[z, j], sw, sem.at[2])
     cpr.start()
     cpb.start()
+    cpw.start()
 
+    cpw.wait()
     # Materialize the (band, LANE) two-tap weight tile from x0/fx.
     xs_ids = jax.lax.broadcasted_iota(jnp.int32, (band, LANE), 0) + base
-    x0 = x0_ref[0, :]  # (LANE,)
-    w0 = w0_ref[0, :]
-    w1 = w1_ref[0, :]
+    x0 = sw[0, :].astype(jnp.int32)  # (LANE,) exact: values <= Ws < 2^24
+    w0 = sw[1, :]
+    w1 = sw[2, :]
     wt = jnp.where(xs_ids == x0[None, :], w0[None, :], 0.0) + jnp.where(
         xs_ids == x0[None, :] + 1, w1[None, :], 0.0)
 
@@ -238,18 +250,19 @@ def _pass2_kernel(base_ref, t1r_hbm, t1b_hbm, x0_ref, w0_ref, w1_ref,
 
     def emit(scr, out_slot):
         acc = jnp.dot(scr[:, :], wt, preferred_element_type=jnp.float32)
-        out_ref[out_slot, :, 0, :] = jnp.clip(
-            jnp.rint(acc), 0, 255).astype(jnp.uint8)
+        # Mosaic cannot cast f32->u8 directly; round through i32.
+        out_ref[out_slot, 0, :, :] = jnp.clip(
+            jnp.rint(acc), 0, 255).astype(jnp.int32).astype(jnp.uint8)
 
     emit(sr, 0)
     emit(sb, 1)
 
 
-def _pass2_call(t1r, t1b, x0, w0, w1, tile_base, geom, interpret=False):
+def _pass2_call(t1r, t1b, wpack, tile_base, geom, interpret=False):
     Ws, Hs, Wo, Ho, band = geom
-    T = t1r.shape[0]
-    Wo_pad = x0.shape[1]
-    n_tiles = Wo_pad // LANE
+    T = t1r.shape[1]  # layout (Ho, T, Ws)
+    n_tiles = wpack.shape[1]
+    Wo_pad = n_tiles * LANE
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -257,16 +270,18 @@ def _pass2_call(t1r, t1b, x0, w0, w1, tile_base, geom, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, LANE), lambda z, j, b: (z, j)),
-            pl.BlockSpec((1, LANE), lambda z, j, b: (z, j)),
-            pl.BlockSpec((1, LANE), lambda z, j, b: (z, j)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
+        # Output laid out (2, Ho, T, Wo_pad) so the block's LAST TWO dims
+        # are (T, LANE) — Mosaic requires those divisible by (8, 128) or
+        # full; the (T, 2, Ho, Wo) consumer order is a cheap transpose.
         out_specs=pl.BlockSpec(
-            (2, T, 1, LANE), lambda z, j, b: (0, 0, z, j)),
+            (2, 1, T, LANE), lambda z, j, b: (0, z, 0, j)),
         scratch_shapes=[
             pltpu.VMEM((T, band), jnp.float32),
             pltpu.VMEM((T, band), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     kernel = functools.partial(
@@ -274,11 +289,11 @@ def _pass2_call(t1r, t1b, x0, w0, w1, tile_base, geom, interpret=False):
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, T, Ho, Wo_pad), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((2, Ho, T, Wo_pad), jnp.uint8),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(tile_base, t1r, t1b, x0, w0, w1)
-    # (2, T, Ho, Wo_pad) -> (T, 2, Ho, Wo_pad)
-    return jnp.swapaxes(out, 0, 1)
+    )(tile_base, t1r, t1b, wpack)
+    # (2, Ho, T, Wo_pad) -> (T, 2, Ho, Wo_pad)
+    return jnp.transpose(out, (2, 0, 1, 3))
