@@ -1,12 +1,11 @@
 """Banded MXU matmul warp, v2: <20 MB resident, seconds to build.
 
-Replaces the round-1 MxuWarp (kernels/resample_mxu.py): that stored the
-two-pass interpolation tensors DENSE — ~4.8 GB of bf16 weights in HBM and
+Replaces the round-1 dense MxuWarp, which stored the two-pass
+interpolation tensors in full — ~4.8 GB of bf16 weights in HBM and
 minutes of host build for a 2-tap-sparse operator — for a ~5% end-to-end
 win.  This version keeps the same curved two-pass decomposition of the
-fused undistort+perspective warp (see resample_mxu.py's module docstring;
-reference call sites lane_tracker.py:832-834) but stores only the BAND
-STRUCTURE:
+fused undistort+perspective warp (generalized Catmull/Smith; reference
+call sites lane_tracker.py:832-834) but stores only the BAND STRUCTURE:
 
   pass 1 (vertical): t1[z, xs] = lerp of source column xs at the row
       where output-row-z's preimage curve crosses it.  Executed as ONE
@@ -47,8 +46,9 @@ def _curve_y_at_cols(cam_matrix, dist_coeffs, M, src_size, dst_size,
     """ys(z, xs): where output row z's preimage curve crosses each integer
     source column (NaN outside the monotone field-of-view segment).
 
-    Same construction as resample_mxu.build_mxu_warp_weights's vertical
-    part, kept in float64 on the host.
+    The curve is parameterized by continuous output x', trimmed to its
+    maximal monotone segment (distortion fold-back appears beyond the
+    field of view), and interpolated at integer columns; float64 host math.
     """
     Ws = int(src_size[0])
     Wo, Ho = int(dst_size[0]), int(dst_size[1])
