@@ -656,3 +656,150 @@ def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
     )(*ins)
     out = out[:, :H, mx:mx + W]
     return out[0] if squeeze else out
+
+
+def _adaptive_mean_kernel(
+    in_hbm, out_ref, stage, w0, w1, acc, sem,
+    *, k, idelta, block, halo, mv, mx, w_img, cols,
+):
+    """cv2.adaptiveThreshold MEAN_C/BINARY (ops/threshold.py semantics).
+
+    k is odd, so the window area k*k is odd and OpenCV's round-half-even
+    box mean equals round-half-up — the threshold compare then needs no
+    division: mean < img + idelta  <=>  2*boxsum + A < 2*A*(img + idelta).
+    The box sum itself is the horizontal AFTER-sum read at a -(r+1) lane
+    offset (a centered k-window anchored one-left), summed vertically by
+    direct sublane reads.  Border is REPLICATE via the host-side edge pad.
+    """
+    tf = pl.program_id(0)
+    i = pl.program_id(1)
+    R = stage.shape[0]
+    in_rows = R - 2 * mv
+    w = w_img
+    r = k // 2
+    o_lo = mv + halo          # first output row (buffer coords)
+    h_lo, h_n = o_lo - r, block + 2 * r  # rows whose h-window sums we need
+
+    cp = pltpu.make_async_copy(
+        in_hbm.at[tf, pl.ds(i * block, in_rows), :],
+        stage.at[mv:mv + in_rows, :],
+        sem,
+    )
+    cp.start()
+    stage[0:mv, :] = jnp.zeros((mv, cols), jnp.uint8)
+    stage[mv + in_rows:, :] = jnp.zeros((mv, cols), jnp.uint8)
+    cp.wait()
+
+    def base_read(rs, cs):
+        return stage[rs, cs].astype(jnp.int32)
+
+    # Horizontal k-window sums via after-sums at a -(r+1) offset.
+    _after_sums_h(base_read, w0, w1, acc, k, mx, w, h_lo, h_n, cols)
+    H = w0  # vertical accumulation target (pyramid ping is dead now)
+    hl = mx - r - 1
+    CHUNK = 8
+    for start in range(-r, r + 1, CHUNK):
+        terms = [
+            acc[o_lo + d:o_lo + d + block, hl:hl + w]
+            for d in range(start, min(start + CHUNK, r + 1))
+        ]
+        expr = terms[0]
+        for tm in terms[1:]:
+            expr = expr + tm
+        if start == -r:
+            H[o_lo:o_lo + block, mx:mx + w] = expr
+        else:
+            H[o_lo:o_lo + block, mx:mx + w] = (
+                H[o_lo:o_lo + block, mx:mx + w] + expr)
+
+    area = k * k
+    x = base_read(slice(o_lo, o_lo + block), slice(mx, mx + w))
+    s2 = 2 * H[o_lo:o_lo + block, mx:mx + w] + jnp.int32(area)
+    hit = s2 < 2 * area * (x + jnp.int32(idelta))
+    out_ref[0, :, mx:mx + w] = jnp.where(
+        hit, jnp.int32(255), jnp.int32(0)).astype(jnp.uint8)
+
+
+def adaptive_mean_pallas2(
+    img: jnp.ndarray,
+    ksize: int,
+    C: int,
+    *,
+    block: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``cv2.adaptiveThreshold(img, 255, MEAN_C, BINARY, ksize, C)`` —
+    bit-exact with ops.threshold.adaptive_mean_threshold, VMEM-resident.
+
+    Accepts (H, W) or a (T, H, W) batch.  ksize must be odd (every
+    OpenCV/reference call site uses odd block sizes).
+    """
+    k = int(ksize)
+    assert k % 2 == 1, "adaptive mean threshold needs an odd ksize"
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    T, Hh, W = img.shape
+    halo = k  # r rows of box support + r rows of h-sum support
+    if block is None:
+        block = _round_up(-(-Hh // 3), 8)
+    grid = -(-Hh // block)
+    mv = _round_up(k + 1, 8)
+    mx = _round_up(k + 1, 64)
+    cols = _round_up(W + 2 * mx, LANE)
+    in_rows = _round_up(block + 2 * halo, 8)
+    rows = in_rows + 2 * mv
+
+    # REPLICATE border: edge-pad rows and columns on the host (the bottom
+    # pad also covers the grid*block overhang).
+    hbuf = jnp.pad(
+        img,
+        ((0, 0), (halo, grid * block + (in_rows - block) - halo - Hh),
+         (mx, cols - mx - W)),
+        mode="edge",
+    )
+
+    kernel = functools.partial(
+        _adaptive_mean_kernel,
+        k=k, idelta=int(C), block=int(block), halo=int(halo),
+        mv=int(mv), mx=int(mx), w_img=int(W), cols=int(cols),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(T, grid),
+        out_shape=jax.ShapeDtypeStruct((T, grid * block, cols), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, cols), jnp.uint8),   # stage
+            pltpu.VMEM((rows, cols), jnp.int32),   # w0 (pyramid / v-sums)
+            pltpu.VMEM((rows, cols), jnp.int32),   # w1 (pyramid)
+            pltpu.VMEM((rows, cols), jnp.int32),   # acc (h window sums)
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(hbuf)
+    out = out[:, :Hh, mx:mx + W]
+    return out[0] if squeeze else out
+
+
+def neighborhood_stage_v2(
+    rgb_r: jnp.ndarray,
+    lab_b: jnp.ndarray,
+    ksize_r: int = 15,
+    C_r: int = 5,
+    ksize_b: int = 35,
+    C_b: int = 5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """'neighborhood' filter mode (the hardcoded second attempt,
+    lane_tracker.py:1081-1099): adaptive mean thresholds on the RAW
+    channels + merge + 5x5 open, all as stage kernels."""
+    r_th = adaptive_mean_pallas2(rgb_r, ksize_r, -C_r, interpret=interpret)
+    b_th = adaptive_mean_pallas2(lab_b, ksize_b, -C_b, interpret=interpret)
+    return merge_open_pallas2(r_th, b_th, None, interpret=interpret)

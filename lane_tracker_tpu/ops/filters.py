@@ -56,7 +56,7 @@ def filter_lane_points_channels(
     Returns:
         (H, W) uint8 binary image, 255 = lane candidate.
     """
-    if filter_type == "bilateral" and backend == "auto":
+    if backend == "auto":
         # Resolve by platform: the v2 stage kernels are bit-exact and
         # 1.5-3.4x the XLA chain on TPU hardware (tophats 0.19/0.33 ms,
         # thresholds 0.07-0.12 ms vs 1.68 ms total for XLA), but cannot
@@ -70,6 +70,16 @@ def filter_lane_points_channels(
         except Exception:  # pragma: no cover - backend init failure
             platform = "cpu"
         backend = "pallas2" if platform != "cpu" else "xla"
+    if filter_type == "neighborhood" and backend == "pallas2" and not mask_noise:
+        # The hardcoded second attempt's configuration (lane_tracker.py:
+        # 1081-1099).  With mask_noise the reference's noise logic applies
+        # on top; that (rare) combination stays on the XLA chain below.
+        from lane_tracker_tpu.kernels.filter_stage2 import neighborhood_stage_v2
+
+        return neighborhood_stage_v2(
+            rgb_r, lab_b, ksize_r=ksize_r, C_r=C_r,
+            ksize_b=ksize_b, C_b=C_b,
+        )
     if filter_type == "bilateral" and backend == "pallas2":
         # v2 stage kernels (kernels/filter_stage2.py): VMEM-resident i32,
         # slice shifts, native (T, H, W) batching.  NOT vmappable — the

@@ -347,7 +347,10 @@ def _filter_batch(r_chan, b_chan, fcfg, backend):
         except Exception:  # pragma: no cover - backend init failure
             platform = "cpu"
         backend = "pallas2" if platform != "cpu" else "xla"
-    if backend == "pallas2" and fcfg.filter_type == "bilateral":
+    if backend == "pallas2" and (
+        fcfg.filter_type == "bilateral"
+        or (fcfg.filter_type == "neighborhood" and not fcfg.mask_noise)
+    ):
         return filter_lane_points_channels(
             r_chan, b_chan, backend="pallas2", **kwargs
         )

@@ -149,3 +149,26 @@ def test_merge_open_kernel_bit_exact(channels):
     want2 = np.asarray(open_ellipse(merged2, 5))
     got2 = np.asarray(merge_open_pallas2(r_th, b_th, keep, interpret=True))
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_adaptive_mean_kernel_bit_exact(channels):
+    from lane_tracker_tpu.kernels.filter_stage2 import (
+        adaptive_mean_pallas2,
+        neighborhood_stage_v2,
+    )
+    from lane_tracker_tpu.ops.filters import filter_lane_points_channels
+    from lane_tracker_tpu.ops.threshold import adaptive_mean_threshold
+
+    r, b = channels
+    for img, k, C in ((r, 15, -5), (b, 35, -5), (r, 35, 8)):
+        want = np.asarray(adaptive_mean_threshold(img, k, C))
+        got = np.asarray(adaptive_mean_pallas2(img, k, C, interpret=True))
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k} C={C}")
+
+    # Full 'neighborhood' stage (the hardcoded second attempt).
+    want = np.asarray(filter_lane_points_channels(
+        r, b, filter_type="neighborhood", ksize_r=15, C_r=5, ksize_b=35,
+        C_b=5, backend="xla"))
+    got = np.asarray(neighborhood_stage_v2(
+        r, b, ksize_r=15, C_r=5, ksize_b=35, C_b=5, interpret=True))
+    np.testing.assert_array_equal(got, want)
