@@ -456,9 +456,9 @@ def bilateral_threshold_pallas2(
     k = int(ksize)
     halo = k
     if block is None:
-        # Larger k needs wider margins/halos; keep ~5 live i32 buffers
-        # inside the VMEM budget by shrinking the block.
-        block = _round_up(-(-H // (3 if k <= 35 else 6)), 8)
+        # Larger k needs wider margins/halos; the after-sums design keeps
+        # 4 live i32 buffers, so even k=65 fits quarter-height blocks.
+        block = _round_up(-(-H // (3 if k <= 35 else 4)), 8)
     grid = -(-H // block)
     mv = _round_up(k + 1, 8)
     mx = _round_up(k + 1, 64)
