@@ -109,9 +109,12 @@ class MxuWarp2:
               band: int = 640) -> "MxuWarp2":
         Ws, Hs = int(src_size[0]), int(src_size[1])
         Wo, Ho = int(dst_size[0]), int(dst_size[1])
-        band = min(-(-int(band) // LANE) * LANE, -(-Ws // LANE) * LANE, max(Ws, LANE))
-        band = min(band, Ws) if Ws % LANE == 0 else min(band, Ws)
-        # small geometries: whole (lane-aligned) rows fit
+        # Pass-2 DMA slices are lane-dimension slices of the t1 planes, so
+        # both the band length and every tile_base must be LANE-aligned;
+        # __call__ pads the t1 planes to Ws_pad columns so base + band
+        # stays in bounds even when Ws is not a multiple of LANE.
+        Ws_pad = -(-Ws // LANE) * LANE
+        band = min(-(-int(band) // LANE) * LANE, Ws_pad)
         Wo_pad = -(-Wo // LANE) * LANE
         n_tiles = Wo_pad // LANE
 
@@ -159,7 +162,11 @@ class MxuWarp2:
             hi = seg.max(axis=1) + 1
             assert int((hi - lo).max()) + 1 <= band, (
                 f"band {band} too small: needs {(hi - lo).max() + 1}")
-            tile_base[:, j] = np.clip(lo, 0, max(Ws - band, 0))
+            # lo is already LANE-aligned; the upper clip bound is too
+            # (Ws_pad and band are both LANE multiples), so the
+            # pl.multiple_of(base, LANE) hint in _pass2_kernel holds for
+            # every source width.
+            tile_base[:, j] = np.clip(lo, 0, max(Ws_pad - band, 0))
 
         # Pack the pass-2 tile data [x0 (as f32, exact <= Ws), w0, w1, 0]
         # into one DMA-able plane: Mosaic's block mappings reject (1, 128)
@@ -215,6 +222,13 @@ class MxuWarp2:
         # output row, which must be the (full, lane-aligned) last two dims.
         t1r = jnp.transpose(t1r, (1, 0, 2))
         t1b = jnp.transpose(t1b, (1, 0, 2))
+        Ws_pad = -(-Ws // LANE) * LANE
+        if Ws_pad != Ws:
+            # Zero columns never carry weight (hw0/hw1 are 0 there), they
+            # only keep every tile_base + band DMA read in bounds.
+            pad = ((0, 0), (0, 0), (0, Ws_pad - Ws))
+            t1r = jnp.pad(t1r, pad)
+            t1b = jnp.pad(t1b, pad)
         out = _pass2_call(
             t1r, t1b, self.wpack, self.tile_base, self.geom, interpret,
         )

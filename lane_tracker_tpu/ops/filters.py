@@ -28,6 +28,36 @@ STREL_LAB_B = 55
 STREL_RGB_R = 29
 STREL_OPEN = 5
 
+FILTER_BACKENDS = ("auto", "xla", "pallas2")
+
+
+def resolve_filter_backend(backend: str) -> str:
+    """Resolve the filter-stage backend name to 'xla' or 'pallas2'.
+
+    The single source of truth for backend selection (ops and
+    tracker/step.py both call this, so the policy cannot diverge).
+    'auto' selects the v2 Mosaic stage kernels only on a real TPU
+    platform — they are bit-exact and 2x the XLA chain there, but
+    Mosaic does not exist on CPU and is untested on GPU backends.
+    Unknown names raise (a silent XLA fallback would be an unannounced
+    backend change for the caller).
+    """
+    if backend not in FILTER_BACKENDS:
+        raise ValueError(
+            f"backend must be one of {FILTER_BACKENDS}, got {backend!r}"
+        )
+    if backend != "auto":
+        return backend
+    try:
+        import jax
+
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - backend init failure
+        platform = "cpu"
+    # The tunneled TPU plugin reports platform 'tpu'; anything else
+    # (cpu, gpu, ...) takes the portable XLA chain.
+    return "pallas2" if platform == "tpu" else "xla"
+
 
 def filter_lane_points_channels(
     rgb_r: jnp.ndarray,
@@ -56,20 +86,11 @@ def filter_lane_points_channels(
     Returns:
         (H, W) uint8 binary image, 255 = lane candidate.
     """
-    if backend == "auto":
-        # Resolve by platform: the v2 stage kernels are bit-exact and
-        # 1.5-3.4x the XLA chain on TPU hardware (tophats 0.19/0.33 ms,
-        # thresholds 0.07-0.12 ms vs 1.68 ms total for XLA), but cannot
-        # run on the CPU backend (no Mosaic) or under vmap — contexts
-        # that vmap the per-frame filter (StreamFleet) pass 'xla'
-        # explicitly.
-        try:
-            import jax
-
-            platform = jax.devices()[0].platform
-        except Exception:  # pragma: no cover - backend init failure
-            platform = "cpu"
-        backend = "pallas2" if platform != "cpu" else "xla"
+    # The v2 stage kernels are bit-exact and 1.5-3.4x the XLA chain on
+    # TPU hardware (tophats 0.19/0.33 ms, thresholds 0.07-0.12 ms vs
+    # 1.68 ms total for XLA) but cannot run off-TPU or under vmap —
+    # contexts that vmap the per-frame filter pass 'xla' explicitly.
+    backend = resolve_filter_backend(backend)
     if filter_type == "neighborhood" and backend == "pallas2" and not mask_noise:
         # The hardcoded second attempt's configuration (lane_tracker.py:
         # 1081-1099).  With mask_noise the reference's noise logic applies

@@ -49,8 +49,6 @@ def build_fleet_processor(config: TrackerConfig, mesh, with_overlay: bool = Fals
     metrics is a dict of fleet-aggregated scalars (psum'd across the
     'stream' mesh axis over ICI).
     """
-    from jax.experimental.shard_map import shard_map
-
     def fleet_local(states, frames, params):
         S, T = frames.shape[0], frames.shape[1]
         flat = frames.reshape((S * T,) + frames.shape[2:])
@@ -90,12 +88,12 @@ def build_fleet_processor(config: TrackerConfig, mesh, with_overlay: bool = Fals
         )
         return states, outs, metrics
 
-    fn = shard_map(
+    fn = jax.shard_map(
         fleet_local,
         mesh=mesh,
         in_specs=(P("stream"), P("stream"), P()),
         out_specs=(P("stream"), P("stream"), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 

@@ -39,7 +39,10 @@ from lane_tracker_tpu.kernels.resample import (
 )
 from lane_tracker_tpu.kernels.resample_mxu2 import MxuWarp2
 from lane_tracker_tpu.ops.color import rgb2lab_b_fast, rgb2lab_b_u8
-from lane_tracker_tpu.ops.filters import filter_lane_points_channels
+from lane_tracker_tpu.ops.filters import (
+    filter_lane_points_channels,
+    resolve_filter_backend,
+)
 from lane_tracker_tpu.ops.integrals import RowPrefixes, build_row_prefixes, interval_moments
 from lane_tracker_tpu.ops.polyfit import (
     check_validity,
@@ -187,6 +190,15 @@ class StepOutput(NamedTuple):
     right_coeffs: jnp.ndarray  # (3,) f32
     n_points_left: jnp.ndarray  # () i32 — validity sample counts
     n_points_right: jnp.ndarray  # () i32
+    # Attempt-1 outcome (equal to the final fields when only one attempt
+    # ran); lets diagnostics narrate both attempts exactly like the
+    # reference's per-attempt prints (lane_tracker.py:1062-1143).
+    a1_detected: jnp.ndarray  # () bool
+    a1_valid: jnp.ndarray  # () bool
+    a1_left_coeffs: jnp.ndarray  # (3,) f32
+    a1_right_coeffs: jnp.ndarray  # (3,) f32
+    a1_n_left: jnp.ndarray  # () i32
+    a1_n_right: jnp.ndarray  # () i32
 
 
 class AttemptResult(NamedTuple):
@@ -340,13 +352,7 @@ def _filter_batch(r_chan, b_chan, fcfg, backend):
         C_noise=fcfg.C_noise,
         noise_thresh=fcfg.noise_thresh,
     )
-    if backend == "auto":
-        # Same resolution as ops/filters.py: pallas2 on accelerators.
-        try:
-            platform = jax.devices()[0].platform
-        except Exception:  # pragma: no cover - backend init failure
-            platform = "cpu"
-        backend = "pallas2" if platform != "cpu" else "xla"
+    backend = resolve_filter_backend(backend)
     if backend == "pallas2" and (
         fcfg.filter_type == "bilateral"
         or (fcfg.filter_type == "neighborhood" and not fcfg.mask_noise)
@@ -666,6 +672,12 @@ def back_half(
         right_coeffs=a.rc,
         n_points_left=a.n_left,
         n_points_right=a.n_right,
+        a1_detected=a1.detected,
+        a1_valid=a1.valid,
+        a1_left_coeffs=a1.lc,
+        a1_right_coeffs=a1.rc,
+        a1_n_left=a1.n_left,
+        a1_n_right=a1.n_right,
     )
     return new_state, out, meta
 

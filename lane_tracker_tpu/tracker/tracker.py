@@ -164,42 +164,82 @@ class LaneTracker:
             n_average=self.n_average,
         )
 
-    def _print_diagnostics(self, out, config):
-        """Reference-style diagnostics (lane_tracker.py:267, 441-447, 461,
-        596-627, 1069-1143): search mode, pixel outcome, and the validity
-        criterion values recomputed in closed form from the fitted
-        coefficients."""
-        mode = "band" if int(out.search_mode) else "sliding window"
-        print(f"Using {mode} search.")
-        print("Lane pixels found." if bool(out.detected) else "No lane pixels found.")
-        if bool(out.detected):
-            v = config.validity
-            W = self.warped_size[0] if v.y_eval_from_width else self.warped_size[1]
-            lc = np.asarray(out.left_coeffs, float)
-            rc = np.asarray(out.right_coeffs, float)
-            nmin = min(int(out.n_points_left), int(out.n_points_right))
-            y1, y2, y3 = W - 1, W - int(nmin * 0.35), W - int(nmin * 0.75)
-            xd = [abs(np.polyval(lc, y) - np.polyval(rc, y)) for y in (y1, y2, y3)]
-            d = lambda c, y: 2 * c[0] * y + c[1]
-            n1 = abs(d(lc, y1) - d(rc, y1))
-            n2 = abs(d(lc, y3) - d(rc, y3))
-            print(
-                "Distance: x1_diff == {:.2f}, x2_diff == {:.2f}, x3_diff == {:.2f} "
-                "(bounds [{}, {}], [{}, {}], [{}, {}])".format(
-                    xd[0], xd[1], xd[2],
-                    v.min_dist_y1, v.max_dist_y1, v.min_dist_y2,
-                    v.max_dist_y2, v.min_dist_y3, v.max_dist_y3,
-                )
+    def _narrate_validity(self, lc, rc, n_left, n_right, v):
+        """Print the reference's exact check_validity diagnostics message
+        (lane_tracker.py:596-627), recomputed in closed form from the
+        fitted coefficients."""
+        W = self.warped_size[0] if v.y_eval_from_width else self.warped_size[1]
+        nmin = min(int(n_left), int(n_right))
+        y1, y2, y3 = W - 1, W - int(nmin * 0.35), W - int(nmin * 0.75)
+        x1, x2, x3 = (
+            abs(np.polyval(lc, y) - np.polyval(rc, y)) for y in (y1, y2, y3)
+        )
+        dist = (
+            "x1_diff == {:.2f}, x2_diff == {:.2f}, x3_diff == {:.2f} "
+            "(min_dist_y1 == {}, max_dist_y1 == {}, min_dist_y2 == {}, "
+            "max_dist_y2 == {}, min_dist_y3 == {}, max_dist_y3 == {})".format(
+                x1, x2, x3, v.min_dist_y1, v.max_dist_y1, v.min_dist_y2,
+                v.max_dist_y2, v.min_dist_y3, v.max_dist_y3,
             )
+        )
+        if (
+            (x1 < v.min_dist_y1) | (x1 > v.max_dist_y1)
+            | (x2 < v.min_dist_y2) | (x2 > v.max_dist_y2)
+            | (x3 < v.min_dist_y3) | (x3 > v.max_dist_y3)
+        ):
             print(
-                "Tangents: norm1 == {:.3f}, norm2 == {:.3f} (thresh == {})".format(
-                    n1, n2, v.tangent_thresh
-                )
+                "No valid lane lines found, violated distance criterion: "
+                + dist
             )
-        if bool(out.valid):
-            attempt = "first" if int(out.n_attempts) == 1 else "second"
-            print(f"Success at {attempt} attempt!")
+            return
+        d = lambda c, y: 2 * c[0] * y + c[1]  # noqa: E731
+        norm1 = abs(d(lc, y1) - d(rc, y1))
+        norm2 = abs(d(lc, y3) - d(rc, y3))
+        tang = "norm1 == {:.3f}, norm2 == {:.3f} (thresh == {})".format(
+            norm1, norm2, v.tangent_thresh
+        )
+        if (norm1 >= v.tangent_thresh) | (norm2 >= v.tangent_thresh):
+            print(
+                "No valid lane lines found, violated tangent criterion: "
+                + tang + ". Distance: " + dist
+            )
         else:
+            print(
+                "Valid lane lines found. Tangents: " + tang
+                + ". Distance: " + dist
+            )
+
+    def _print_diagnostics(self, out, config):
+        """The reference's per-attempt diagnostics narration, reproduced
+        print for print (lane_tracker.py:267, 441-447, 461, 596-627,
+        1062-1143): search mode, pixel outcome and the validity criterion
+        message for EACH attempt that ran, then the attempt verdict."""
+        mode = "band" if int(out.search_mode) else "sliding window"
+        n_ran = int(out.n_attempts)
+        attempts = [(
+            bool(out.a1_detected), bool(out.a1_valid),
+            np.asarray(out.a1_left_coeffs, float),
+            np.asarray(out.a1_right_coeffs, float),
+            int(out.a1_n_left), int(out.a1_n_right),
+        )]
+        if n_ran >= 2:
+            attempts.append((
+                bool(out.detected), bool(out.valid),
+                np.asarray(out.left_coeffs, float),
+                np.asarray(out.right_coeffs, float),
+                int(out.n_points_left), int(out.n_points_right),
+            ))
+        for i, (detected, valid, lc, rc, nl, nr) in enumerate(attempts):
+            print(f"Using {mode} search.")
+            print("Lane pixels found." if detected else "No lane pixels found.")
+            if detected:
+                self._narrate_validity(lc, rc, nl, nr, config.validity)
+            if valid:
+                which = "first" if i == 0 else "second"
+                print(f"Success at {which} attempt!")
+            elif i == 0 and n_ran >= 2:
+                print("No success at first attempt, now trying second.")
+        if not bool(out.valid):
             print("No success after all attempts.")
 
     def process(
@@ -312,30 +352,26 @@ class LaneTracker:
         Text annotations are NOT burned in; render them from the returned
         radius/ecc/render_mode arrays if needed (process_video.py does).
         """
+        import inspect
+
         import jax
 
         from lane_tracker_tpu.parallel.pipeline import build_chunk_processor
 
-        sig = dict(
-            ksize_r=15, C_r=8, ksize_b=35, C_b=5, filter_type="bilateral",
-            mask_noise=False, noise_thresh=140, ksize_noise=65, C_noise=10,
-            window_width=30, window_height=40, search_range=20, mu=0.1,
-            no_success_limit=8, start_slice=0.25, ignore_sides=360,
-            ignore_bottom=30, bandwidth=25, partial=1.0, n_tries=2,
-        )
+        # The chunk API's tracking defaults ARE process()'s defaults —
+        # derive them from its signature so they cannot diverge (minus the
+        # per-frame debug flags, which have no chunked equivalent).
+        sig = {
+            name: p.default
+            for name, p in inspect.signature(self.process).parameters.items()
+            if p.default is not inspect.Parameter.empty
+            and name not in ("visualize_search", "split_view", "diagnostics")
+        }
         unknown = set(kwargs) - set(sig)
         if unknown:
             raise TypeError(f"unknown process_chunk kwargs: {sorted(unknown)}")
         sig.update(kwargs)
-        config = self._config_from_kwargs(
-            sig["ksize_r"], sig["C_r"], sig["ksize_b"], sig["C_b"],
-            sig["filter_type"], sig["mask_noise"], sig["noise_thresh"],
-            sig["ksize_noise"], sig["C_noise"], sig["window_width"],
-            sig["window_height"], sig["search_range"], sig["mu"],
-            sig["no_success_limit"], sig["start_slice"], sig["ignore_sides"],
-            sig["ignore_bottom"], sig["bandwidth"], sig["partial"],
-            sig["n_tries"],
-        )
+        config = self._config_from_kwargs(**sig)
         self._ensure_state(config)
         fn = build_chunk_processor(config, with_overlay=bool(with_overlay))
         frames = np.ascontiguousarray(np.asarray(frames, dtype=np.uint8))

@@ -90,6 +90,8 @@ def _band_patch(ref_lt):
 
     def band_search(self, img, bandwidth, ignore_bottom=30, partial=1,
                     diagnostics=False):
+        if diagnostics:
+            print("Using band search.")
         work = np.copy(img)
         work[work.shape[0] - ignore_bottom :, :] = 0
         work[: int(work.shape[0] * (1 - partial)), :] = 0
@@ -103,8 +105,12 @@ def _band_patch(ref_lt):
             self.left_y, self.left_x = yy[keep["left"]], xx[keep["left"]]
             self.right_y, self.right_x = yy[keep["right"]], xx[keep["right"]]
             self.detected_pixels = True
+            if diagnostics:
+                print("Lane pixels found.")
         else:
             self.detected_pixels = False
+            if diagnostics:
+                print("No lane pixels found.")
 
     ref_lt.band_search = types.MethodType(band_search, ref_lt)
 
@@ -350,3 +356,121 @@ def test_mxu_pipeline_quality_full_geometry(calib):
             cm = np.asarray(getattr(out_m, side)[t], float)
             rmse = np.sqrt(np.mean((np.polyval(cf, yy) - np.polyval(cm, yy)) ** 2))
             assert rmse < 0.5, (t, side, rmse)
+
+
+def _split_numbers(line):
+    """(template-with-placeholders, [floats]) for tolerance-aware diffs."""
+    import re
+
+    nums = []
+
+    def repl(m):
+        nums.append(float(m.group(0)))
+        return "<num>"
+
+    return re.sub(r"-?\d+(?:\.\d+)?", repl, line), nums
+
+
+def test_diagnostics_transcript_matches_reference(ref_process_module, calib):
+    """diagnostics=True narration parity with the live reference
+    (lane_tracker.py:267, 441-447, 461, 497-500, 596-627, 1062-1143):
+    the per-attempt search-mode / pixel-outcome / validity-criterion /
+    attempt-verdict print sequence matches line for line over a sequence
+    that exercises sliding-window, band search, a both-attempt failure and
+    re-acquisition; numeric values agree within fit tolerance."""
+    import io
+    from contextlib import redirect_stdout
+
+    from PIL import Image
+
+    from tests.conftest import ASSETS_DIR
+
+    # No corpus frame passes the reference's HARDCODED validity
+    # thresholds (they match its demo videos, not these stills), so the
+    # demo1 thresholds are applied to the reference via a check_validity
+    # patch that replicates the reference's prints (format copied from
+    # lane_tracker.py:596-627) with configurable bounds.
+    import types
+
+    from tests.test_polyfit import _validity_oracle
+
+    cfg = PRESETS["demo1"]
+    v = cfg.validity
+
+    def patched_check_validity(self, lc, rc, diagnostics=False):
+        ly, lx, ry, rx = self.get_poly_points(lc, rc)
+        self.valid_lane_lines = _validity_oracle(
+            lc, rc, len(ly), len(ry), (1080, 1100), v)
+        if not diagnostics:
+            return
+        W = 1080 if v.y_eval_from_width else 1100
+        nmin = min(len(ly), len(ry))
+        y1, y2, y3 = W - 1, W - int(nmin * 0.35), W - int(nmin * 0.75)
+        x1, x2, x3 = (
+            abs(np.polyval(lc, y) - np.polyval(rc, y)) for y in (y1, y2, y3))
+        dist = (
+            "x1_diff == {:.2f}, x2_diff == {:.2f}, x3_diff == {:.2f} "
+            "(min_dist_y1 == {}, max_dist_y1 == {}, min_dist_y2 == {}, "
+            "max_dist_y2 == {}, min_dist_y3 == {}, max_dist_y3 == {})".format(
+                x1, x2, x3, v.min_dist_y1, v.max_dist_y1, v.min_dist_y2,
+                v.max_dist_y2, v.min_dist_y3, v.max_dist_y3))
+        if (
+            (x1 < v.min_dist_y1) | (x1 > v.max_dist_y1)
+            | (x2 < v.min_dist_y2) | (x2 > v.max_dist_y2)
+            | (x3 < v.min_dist_y3) | (x3 > v.max_dist_y3)
+        ):
+            print("No valid lane lines found, violated distance criterion: "
+                  + dist)
+            return
+        d = lambda c, y: 2 * c[0] * y + c[1]  # noqa: E731
+        norm1 = abs(d(lc, y1) - d(rc, y1))
+        norm2 = abs(d(lc, y3) - d(rc, y3))
+        tang = "norm1 == {:.3f}, norm2 == {:.3f} (thresh == {})".format(
+            norm1, norm2, v.tangent_thresh)
+        if (norm1 >= v.tangent_thresh) | (norm2 >= v.tangent_thresh):
+            print("No valid lane lines found, violated tangent criterion: "
+                  + tang + ". Distance: " + dist)
+        else:
+            print("Valid lane lines found. Tangents: " + tang
+                  + ". Distance: " + dist)
+
+    ref_lt = _make_ref_tracker(ref_process_module, calib)
+    _band_patch(ref_lt)
+    ref_lt.check_validity = types.MethodType(patched_check_validity, ref_lt)
+    tpu_lt = _make_tpu_tracker(calib, validity=cfg.validity,
+                               pipeline="compat")
+
+    seq = ["frame911.jpg", "frame971.jpg", "black", "test1.jpg"]
+    frames = {
+        name: (np.zeros((720, 1280, 3), np.uint8) if name == "black"
+               else np.asarray(Image.open(ASSETS_DIR / name).convert("RGB")))
+        for name in seq
+    }
+
+    ref_log, tpu_log = io.StringIO(), io.StringIO()
+    kw = dict(DEMO1_KW)
+    for name in seq:
+        with _numpy_2017_shims(), redirect_stdout(ref_log):
+            ref_lt.process(np.copy(frames[name]), diagnostics=True, **kw)
+        with redirect_stdout(tpu_log):
+            tpu_lt.process(frames[name], diagnostics=True, **kw)
+
+    ref_lines = ref_log.getvalue().strip().splitlines()
+    tpu_lines = tpu_log.getvalue().strip().splitlines()
+    assert len(ref_lines) == len(tpu_lines), (ref_lines, tpu_lines)
+    for rl, tl in zip(ref_lines, tpu_lines):
+        rt, rn = _split_numbers(rl)
+        tt, tn = _split_numbers(tl)
+        assert rt == tt, (rl, tl)
+        # Values printed at {:.2f}/{:.3f} from independently fitted
+        # coefficients: allow the <0.5 px fit tolerance on distances and
+        # a matching slack on tangent norms and thresholds.
+        for a, b in zip(rn, tn):
+            assert abs(a - b) <= max(1.0, 0.02 * abs(a)), (rl, tl)
+    # The sequence must exercise every narration branch.
+    text = "\n".join(ref_lines)
+    assert "Using sliding window search." in text
+    assert "Using band search." in text
+    assert "No success at first attempt, now trying second." in text
+    assert "No success after all attempts." in text
+    assert "Success at first attempt!" in text
