@@ -348,6 +348,88 @@ def _after_sums_h(base_read, work0, work1, acc, k, mx, w, row_lo, row_n, C):
             glen *= 2
 
 
+@functools.lru_cache(maxsize=None)
+def _v_after_schedule(k: int):
+    """Static statement schedule for vertical AFTER-sums by pow2 doubling.
+
+    Returns (levels, combines): ``levels`` is a list of (g, hi) growth
+    statements building S_2g(y) = S_g(y) + S_g(y+g) over rows
+    [row_lo, row_lo + row_n + hi); ``combines`` is a list of (g, a_off)
+    terms with acc(y) += S_g(y + a_off) — the binary decomposition of
+    sum_{d=1..k} x(y+d).  ``hi`` extents are computed backwards so every
+    read lands on rows the producing level actually wrote (the largest
+    base row touched is y + k, exactly the direct method's reach).
+    """
+    combines = []  # (g, a_off)
+    grows = []  # g values grown (S_g -> S_2g)
+    a_off, g, rem = 1, 1, k
+    while rem:
+        if rem & 1:
+            combines.append((g, a_off))
+            a_off += g
+        rem >>= 1
+        if rem:
+            grows.append(g)
+            g *= 2
+    # Rows needed beyond row_lo for each aggregate level (exclusive).
+    need = {}
+    for g, off in combines:
+        need[g] = max(need.get(g, 0), off)  # + row_n added by the kernel
+    for g in reversed(grows):
+        hi = need.get(2 * g, None)
+        if hi is not None:
+            need[g] = max(need.get(g, 0), hi + g)
+    levels = [(g, need[2 * g]) for g in grows]
+    return tuple(levels), tuple(combines)
+
+
+def _after_sums_v(base_read, work0, work1, acc, k, cx, cw, row_lo, row_n):
+    """Vertical AFTER-sums: acc(y, x) = sum of the k elements strictly
+    below y (rows y+1..y+k), written over rows [row_lo, row_lo + row_n)
+    and columns [cx, cx + cw).
+
+    Sublane-axis mirror of _after_sums_h: pow2 ping-pong doubling plus
+    binary decomposition of k — ~2*log2(k) statements instead of the k
+    direct sublane reads of the naive accumulation (the VPU here is
+    sweep-bound, so statement count IS the cost).  base_read must be
+    valid (carrying the zero padding of the sum) over rows
+    [row_lo + 1, row_lo + row_n + k) — the same reach as the direct
+    method, guaranteed by the stage margins (mv >= k + 1).
+    """
+    levels, combines = _v_after_schedule(k)
+    level_hi = dict(levels)
+    comb_at = dict(combines)
+
+    def rd(read, n, dy):
+        return read(slice(row_lo + dy, row_lo + dy + n), slice(cx, cx + cw))
+
+    # Interleave combines with growth (the ping-pong reuses buffers, so
+    # only the CURRENT level is ever live — same discipline as the
+    # horizontal version).
+    reads = base_read
+    ping = [work0, work1]
+    pidx = 0
+    g = 1
+    started = False
+    while True:
+        if g in comb_at:
+            term = rd(reads, row_n, comb_at[g])
+            if started:
+                acc[row_lo:row_lo + row_n, cx:cx + cw] = (
+                    acc[row_lo:row_lo + row_n, cx:cx + cw] + term)
+            else:
+                acc[row_lo:row_lo + row_n, cx:cx + cw] = term
+                started = True
+        if g not in level_hi:
+            break
+        dst = ping[pidx]
+        n = row_n + level_hi[g]
+        dst[row_lo:row_lo + n, cx:cx + cw] = rd(reads, n, 0) + rd(reads, n, g)
+        reads = _read_of(dst)
+        pidx ^= 1
+        g *= 2
+
+
 def _threshold_kernel(
     in_hbm, out_ref, stage, w0, w1, acc, cond, sem,
     *, k, C, block, halo, mv, mx, w_img, cols, noise_thresh,
@@ -396,25 +478,14 @@ def _threshold_kernel(
         (before < tt) & (after < tt)
     ).astype(jnp.int32)
 
-    # ---- vertical arms: direct sublane summation (sublane slices are
-    # near-free on this hardware; no pyramid, no extra buffer — the
-    # after-sum accumulates into w0 and before(y) = after(y - k - 1) ----
-    A = w0
+    # ---- vertical arms: pow2 after-sum pyramid (the VPU is sweep-bound,
+    # so ~2*log2(k) statements beat the k direct sublane reads ~4x for
+    # k=65); acc's horizontal sums are dead once cond is written, so it
+    # becomes the vertical target and before(y) = after(y - k - 1) ----
+    A = acc
     a_lo = o_lo - k - 1
     a_n = block + k + 1
-    CHUNK = 8
-    for start in range(1, k + 1, CHUNK):
-        terms = [
-            base_read(slice(a_lo + d, a_lo + d + a_n), slice(mx, mx + w))
-            for d in range(start, min(start + CHUNK, k + 1))
-        ]
-        expr = terms[0]
-        for tm in terms[1:]:
-            expr = expr + tm
-        if start == 1:
-            A[a_lo:a_lo + a_n, mx:mx + w] = expr
-        else:
-            A[a_lo:a_lo + a_n, mx:mx + w] = A[a_lo:a_lo + a_n, mx:mx + w] + expr
+    _after_sums_v(base_read, w0, w1, A, k, mx, w, a_lo, a_n)
 
     tt = thr()
     v_after = A[o_lo:o_lo + block, mx:mx + w]
@@ -659,7 +730,7 @@ def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
 
 
 def _adaptive_mean_kernel(
-    in_hbm, out_ref, stage, w0, w1, acc, sem,
+    in_hbm, out_ref, stage, w0, w1, acc, vbuf, sem,
     *, k, idelta, block, halo, mv, mx, w_img, cols,
 ):
     """cv2.adaptiveThreshold MEAN_C/BINARY (ops/threshold.py semantics).
@@ -695,26 +766,17 @@ def _adaptive_mean_kernel(
 
     # Horizontal k-window sums via after-sums at a -(r+1) offset.
     _after_sums_h(base_read, w0, w1, acc, k, mx, w, h_lo, h_n, cols)
-    H = w0  # vertical accumulation target (pyramid ping is dead now)
+    # Vertical k-window box: pow2 after-sum pyramid over the h sums
+    # (box(y) = V(y - r - 1) with V the strictly-below after-sum), into
+    # the dedicated vbuf so acc (the live input) and the w0/w1 ping
+    # buffers stay untouched.
     hl = mx - r - 1
-    CHUNK = 8
-    for start in range(-r, r + 1, CHUNK):
-        terms = [
-            acc[o_lo + d:o_lo + d + block, hl:hl + w]
-            for d in range(start, min(start + CHUNK, r + 1))
-        ]
-        expr = terms[0]
-        for tm in terms[1:]:
-            expr = expr + tm
-        if start == -r:
-            H[o_lo:o_lo + block, mx:mx + w] = expr
-        else:
-            H[o_lo:o_lo + block, mx:mx + w] = (
-                H[o_lo:o_lo + block, mx:mx + w] + expr)
+    _after_sums_v(_read_of(acc), w0, w1, vbuf, k, hl, w, o_lo - r - 1, block)
 
     area = k * k
     x = base_read(slice(o_lo, o_lo + block), slice(mx, mx + w))
-    s2 = 2 * H[o_lo:o_lo + block, mx:mx + w] + jnp.int32(area)
+    s2 = (2 * vbuf[o_lo - r - 1:o_lo - r - 1 + block, hl:hl + w]
+          + jnp.int32(area))
     hit = s2 < 2 * area * (x + jnp.int32(idelta))
     out_ref[0, :, mx:mx + w] = jnp.where(
         hit, jnp.int32(255), jnp.int32(0)).astype(jnp.uint8)
@@ -773,9 +835,10 @@ def adaptive_mean_pallas2(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rows, cols), jnp.uint8),   # stage
-            pltpu.VMEM((rows, cols), jnp.int32),   # w0 (pyramid / v-sums)
-            pltpu.VMEM((rows, cols), jnp.int32),   # w1 (pyramid)
+            pltpu.VMEM((rows, cols), jnp.int32),   # w0 (pyramid ping)
+            pltpu.VMEM((rows, cols), jnp.int32),   # w1 (pyramid pong)
             pltpu.VMEM((rows, cols), jnp.int32),   # acc (h window sums)
+            pltpu.VMEM((rows, cols), jnp.int32),   # vbuf (v box sums)
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
