@@ -23,6 +23,7 @@ kernels at all.)
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -38,6 +39,7 @@ from lane_tracker_tpu.tracker.step import (
     front_artifacts_batch,
     make_initial_state,
     render_frame,
+    second_attempt_artifacts_batch,
 )
 from lane_tracker_tpu.tracker.state import TrackerState
 
@@ -53,20 +55,53 @@ def build_fleet_processor(config: TrackerConfig, mesh, with_overlay: bool = Fals
         S, T = frames.shape[0], frames.shape[1]
         flat = frames.reshape((S * T,) + frames.shape[2:])
         arts = front_artifacts_batch(
-            flat, params, config, hoist_second_attempt=True
+            flat, params, config, hoist_second_attempt=False
         )
-        arts = jax.tree_util.tree_map(
+        arts_st = jax.tree_util.tree_map(
             lambda x: x.reshape((S, T) + x.shape[1:]), arts
         )
 
-        def scan_one(st, art):
-            def body(s, a):
-                s, out, meta = back_half(s, a, params, config)
-                return s, (out, meta)
+        def scan_all(sts, ar, cfg):
+            def scan_one(st, art):
+                def body(s, a):
+                    s, out, meta = back_half(s, a, params, cfg)
+                    return s, (out, meta)
 
-            return jax.lax.scan(body, st, art)
+                return jax.lax.scan(body, st, art)
 
-        states, (outs, metas) = jax.vmap(scan_one)(states, arts)
+            return jax.vmap(scan_one)(sts, ar)
+
+        has_a2 = config.n_tries >= 2 or config.n_tries == -1
+        if has_a2:
+            # Two-phase conditional hoist (round-2 verdict item 2): scan
+            # attempt-1 only; ONE chip-level lax.cond runs the batched
+            # attempt-2 front + rescan only when some local frame failed.
+            # In the steady state (valid_fraction ~= 1) the fallback costs
+            # nothing — the unconditional hoist made EVERY frame pay the
+            # ~0.43 ms attempt-2 filter, the round-2 fleet's whole 29%
+            # giveback.  Chips diverge freely here (no collective inside).
+            cfg1 = dataclasses.replace(config, n_tries=1)
+            states1, (outs1, metas1) = scan_all(states, arts_st, cfg1)
+            all_valid = outs1.valid.all()
+
+            def keep(_):
+                return states1, (outs1, metas1)
+
+            def fallback(_):
+                pref2, iv2 = second_attempt_artifacts_batch(
+                    arts.r_chan, arts.b_chan, params)
+                full = arts_st._replace(
+                    pref2=jax.tree_util.tree_map(
+                        lambda x: x.reshape((S, T) + x.shape[1:]), pref2),
+                    iv_sws2=jax.tree_util.tree_map(
+                        lambda x: x.reshape((S, T) + x.shape[1:]), iv2),
+                )
+                return scan_all(states, full, config)
+
+            states, (outs, metas) = jax.lax.cond(all_valid, keep, fallback,
+                                                 None)
+        else:
+            states, (outs, metas) = scan_all(states, arts_st, config)
         if with_overlay:
             metas_flat = jax.tree_util.tree_map(
                 lambda x: x.reshape((S * T,) + x.shape[2:]), metas

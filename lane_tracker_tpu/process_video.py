@@ -42,9 +42,9 @@ def build_arg_parser():
     p.add_argument(
         "--pipeline",
         default="fast",
-        choices=["fast", "mxu", "compat"],
-        help="fused single-gather warp (fast), banded matmul warp (mxu), "
-        "or reference-exact chain (compat)",
+        choices=["fast", "compat"],
+        help="channel-packed exact two-stage warp (fast) or the "
+        "reference-exact LUT chain (compat)",
     )
     p.add_argument("--n-fail", type=int, default=8)
     p.add_argument("--n-reset", type=int, default=4)

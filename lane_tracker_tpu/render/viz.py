@@ -25,10 +25,13 @@ def _warped_channels(params, frame):
         und = bilinear_gather(frame, params.grid_und)
         warped = bilinear_gather(und, params.grid_warp)
         return np.asarray(warped[..., 0]), np.asarray(rgb2lab_b_u8(warped))
-    b_raw = rgb2lab_b_u8(frame)
-    r = bilinear_gather(frame[..., 0], params.grid_fused)
-    b = bilinear_gather(b_raw, params.grid_fused)
-    return np.asarray(r), np.asarray(b)
+    # 'fast': mirror tracker/step.py exactly — two-stage warp of all three
+    # channels, arithmetic LAB on the warped frame.
+    from lane_tracker_tpu.ops.color import rgb2lab_b_fast
+
+    warped = bilinear_gather(
+        bilinear_gather(frame, params.grid_und), params.grid_warp)
+    return np.asarray(warped[..., 0]), np.asarray(rgb2lab_b_fast(warped))
 
 
 def _poly_graph_points(coeffs, warped_size, partial=1.0):

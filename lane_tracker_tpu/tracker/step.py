@@ -31,13 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from lane_tracker_tpu.calib.homography import perspective_grid
-from lane_tracker_tpu.calib.undistort import fused_undistort_warp_grid, undistort_grid
+from lane_tracker_tpu.calib.undistort import undistort_grid
 from lane_tracker_tpu.kernels.resample import (
     ResampleGrid,
     bilinear_gather,
     bilinear_gather_pair,
 )
-from lane_tracker_tpu.kernels.resample_mxu2 import MxuWarp2
 from lane_tracker_tpu.ops.color import rgb2lab_b_fast, rgb2lab_b_u8
 from lane_tracker_tpu.ops.filters import (
     filter_lane_points_channels,
@@ -78,10 +77,8 @@ class TrackerParams:
     geometry/metric scalars ride in the pytree aux so they are jit-static.
     """
 
-    grid_und: ResampleGrid | None  # undistort (compat pipeline)
-    grid_warp: ResampleGrid | None  # bird's-eye warp (compat pipeline)
-    grid_fused: ResampleGrid | None  # fused undistort+warp (fast pipeline)
-    mxu_warp: MxuWarp2 | None  # banded matmul fused warp (mxu pipeline)
+    grid_und: ResampleGrid  # undistort resampling grid
+    grid_warp: ResampleGrid  # bird's-eye warp resampling grid
     unwarp_grid: ResampleGrid  # bird's-eye -> camera view (compat render)
     fwd_u: jnp.ndarray  # (Hc, Wc) f32 — camera pixel's BV x (direct render)
     fwd_v: jnp.ndarray  # (Hc, Wc) f32 — camera pixel's BV y
@@ -96,8 +93,6 @@ class TrackerParams:
         children = (
             self.grid_und,
             self.grid_warp,
-            self.grid_fused,
-            self.mxu_warp,
             self.unwarp_grid,
             self.fwd_u,
             self.fwd_v,
@@ -136,35 +131,24 @@ class TrackerParams:
             perspective_grid(np.asarray(Minv), warped_size, img_size, mode="float")
         )
         fu, fv = forward_bv_grid(np.asarray(M), img_size, warped_size)
-        mxu = None
-        if pipeline == "compat":
-            g_und = ResampleGrid.from_quantized(
-                undistort_grid(cam_matrix, dist_coeffs, img_size)
-            )
-            g_warp = ResampleGrid.from_quantized(
-                perspective_grid(np.asarray(M), img_size, warped_size, mode="float")
-            )
-            g_fused = None
-        elif pipeline in ("fast", "mxu"):
-            g_und = g_warp = None
-            g_fused = ResampleGrid.from_quantized(
-                fused_undistort_warp_grid(
-                    cam_matrix, dist_coeffs, np.asarray(M), img_size, warped_size
-                )
-            )
-            if pipeline == "mxu":
-                # Banded two-pass matmul warp: ~15 MB resident, seconds of
-                # host build (kernels/resample_mxu2.py).
-                mxu = MxuWarp2.build(
-                    cam_matrix, dist_coeffs, np.asarray(M), img_size, warped_size
-                )
-        else:
-            raise ValueError("pipeline must be 'fast', 'mxu', or 'compat'")
+        if pipeline not in ("compat", "fast"):
+            # The round-2 'mxu' banded matmul warp was demoted to
+            # scripts/resample_mxu2.py (slower than the gather path AND
+            # tied to the fused resampling map that round-3 corpus
+            # testing rejected — post-mortem in that file's docstring).
+            raise ValueError("pipeline must be 'fast' or 'compat'")
+        # Both pipelines use the reference's exact two-stage resampling
+        # chain (lane_tracker.py:832-834); they differ in how channels
+        # are packed through it and in the render path.
+        g_und = ResampleGrid.from_quantized(
+            undistort_grid(cam_matrix, dist_coeffs, img_size)
+        )
+        g_warp = ResampleGrid.from_quantized(
+            perspective_grid(np.asarray(M), img_size, warped_size, mode="float")
+        )
         return cls(
             grid_und=g_und,
             grid_warp=g_warp,
-            grid_fused=g_fused,
-            mxu_warp=mxu,
             unwarp_grid=unwarp,
             fwd_u=jnp.asarray(fu),
             fwd_v=jnp.asarray(fv),
@@ -224,14 +208,25 @@ def _warp_channels(frame, params: TrackerParams):
         und = bilinear_gather(frame, params.grid_und)
         warped = bilinear_gather(und, params.grid_warp)
         return warped[..., 0], rgb2lab_b_u8(warped)
-    b_raw = rgb2lab_b_fast(frame)
-    if params.pipeline == "mxu":
-        # Warp both channels in one batched pair of matmuls (vmap over the
-        # chunk turns the per-frame call into 'xzy,tyx->tzx' einsums).
-        both = params.mxu_warp(jnp.stack([frame[..., 0], b_raw]))
-        return both[0], both[1]
-    # One pair-packed gather stream warps both channels at half the cost.
-    return bilinear_gather_pair(frame[..., 0], b_raw, params.grid_fused)
+    # 'fast': the EXACT reference resampling chain — two-stage (undistort
+    # then warp, lane_tracker.py:832-834) on all three RGB channels, LAB
+    # computed from the warped frame.  Channels are bit-identical to
+    # 'compat' (pair gathers use exactly the taps and weights of the
+    # single-channel calls); the only deviation left is rgb2lab_b_fast's
+    # arithmetic vs LUT evaluation (<=1 unit on <0.1% of pixels).
+    # Corpus-measured round 3: any resampling shortcut breaks parity —
+    # the one-gather fused resample flipped 2-25% of white pixels (curve
+    # RMSE up to 147 px on marginal frames) and even raw-frame LAB with
+    # exact two-stage warps flipped a longrun validity (RMSE 3.0 px), so
+    # the benched pipeline pays for the full chain and wins it back in
+    # the filter stage instead.
+    r_u, g_u = bilinear_gather_pair(frame[..., 0], frame[..., 1],
+                                    params.grid_und)
+    b_u = bilinear_gather(frame[..., 2], params.grid_und)
+    r_w, g_w = bilinear_gather_pair(r_u, g_u, params.grid_warp)
+    b_w = bilinear_gather(b_u, params.grid_warp)
+    lab = rgb2lab_b_fast(jnp.stack([r_w, g_w, b_w], axis=-1))
+    return r_w, lab
 
 
 def _run_attempt(state: TrackerState, cfg: TrackerConfig, scfg, params,
@@ -368,6 +363,20 @@ def _filter_batch(r_chan, b_chan, fcfg, backend):
     )(r_chan, b_chan)
 
 
+def second_attempt_artifacts_batch(r_chan, b_chan, params: TrackerParams):
+    """Batched attempt-2 front products (state-free): the hardcoded
+    'neighborhood' filter (lane_tracker.py:1081-1099) + prefixes + blind
+    intervals for a (T, H, W) channel batch."""
+    W, H = params.warped_size
+    binary2 = _filter_batch(r_chan, b_chan, SECOND_ATTEMPT.filter,
+                            params.filter_backend)
+    pref2 = jax.vmap(build_row_prefixes)(binary2)
+    iv2 = jax.vmap(lambda b: sliding_window_intervals(
+        sws_precompute(b, SECOND_ATTEMPT.search),
+        SECOND_ATTEMPT.search, H, W))(binary2)
+    return pref2, iv2
+
+
 def front_artifacts_batch(
     frames,
     params: TrackerParams,
@@ -380,14 +389,7 @@ def front_artifacts_batch(
     invoked ONCE on the whole batch so grid-batched Pallas backends work;
     bit-identical to the per-frame path for every backend.
     """
-    if params.pipeline == "mxu":
-        # The banded matmul warp batches natively over T (its pass-2
-        # Pallas grid cannot vmap), like the pallas2 filter below.
-        b_raw = jax.vmap(rgb2lab_b_fast)(frames)
-        both = params.mxu_warp(jnp.stack([frames[..., 0], b_raw], axis=1))
-        r_chan, b_chan = both[:, 0], both[:, 1]
-    else:
-        r_chan, b_chan = jax.vmap(lambda f: _warp_channels(f, params))(frames)
+    r_chan, b_chan = jax.vmap(lambda f: _warp_channels(f, params))(frames)
     binary1 = _filter_batch(r_chan, b_chan, config.filter,
                             params.filter_backend)
     W, H = params.warped_size
@@ -396,12 +398,7 @@ def front_artifacts_batch(
         sws_precompute(b, config.search), config.search, H, W))(binary1)
     pref2 = iv2 = None
     if hoist_second_attempt and (config.n_tries >= 2 or config.n_tries == -1):
-        binary2 = _filter_batch(r_chan, b_chan, SECOND_ATTEMPT.filter,
-                                params.filter_backend)
-        pref2 = jax.vmap(build_row_prefixes)(binary2)
-        iv2 = jax.vmap(lambda b: sliding_window_intervals(
-            sws_precompute(b, SECOND_ATTEMPT.search),
-            SECOND_ATTEMPT.search, H, W))(binary2)
+        pref2, iv2 = second_attempt_artifacts_batch(r_chan, b_chan, params)
     return FrontArtifacts(
         r_chan=r_chan,
         b_chan=b_chan,

@@ -321,11 +321,7 @@ class LaneTracker:
 
             # The reference always pre-warps the raw frame for the split
             # view (lane_tracker.py:1035).
-            if self.params.grid_warp is not None:
-                warp_grid = self.params.grid_warp
-            else:
-                warp_grid = self.params.grid_fused
-            warped = np.asarray(bilinear_gather(frame, warp_grid))
+            warped = np.asarray(bilinear_gather(frame, self.params.grid_warp))
             return triple_split_view([annotated, warped, viz])
         return annotated
 

@@ -1,4 +1,25 @@
-"""Banded MXU matmul warp, v2: <20 MB resident, seconds to build.
+"""Banded MXU matmul warp, v2 — DEMOTED to scripts/ (round-3 post-mortem).
+
+The banded matmul warp was the round-2 'mxu' pipeline option.  It is a
+correct, memory-cheap (~25 MB) MXU formulation of the fused
+undistort+perspective resample, but it lost on BOTH axes that would have
+justified keeping it in the product:
+
+* Speed: 685.7 fps end-to-end vs 759.2 for the packed-gather warp — the
+  128-aligned (T, 640) t1 band DMAs per output row bound pass 2, and
+  feeding pass 2 from VMEM would require t1 tiles an order of magnitude
+  larger than VMEM allows at production T.
+* Fidelity: it implements the ONE-PASS fused resampling map, and round-3
+  corpus testing showed any fused shortcut breaks reference parity (the
+  fused gather flipped 2-25% of filter white pixels; curve RMSE up to
+  147 px on marginal frames).  The benched 'fast' pipeline now uses the
+  reference's exact two-stage chain, which this design cannot express
+  without giving up its banded structure.
+
+Kept here as a runnable artifact of the design space (still imports and
+interprets on CPU; the __main__ probe checks it against the gather path).
+
+--- original docstring ---
 
 Replaces the round-1 dense MxuWarp, which stored the two-pass
 interpolation tensors in full — ~4.8 GB of bf16 weights in HBM and

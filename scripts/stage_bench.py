@@ -60,12 +60,11 @@ def main(selected):
     Ww, Hw = params.warped_size
 
     # Precomputed stage inputs (device).
+    from lane_tracker_tpu.tracker.step import _warp_channels
+
     @jax.jit
     def prep(frames, p):
-        def one(f):
-            b_raw = rgb2lab_b_fast(f)
-            return bilinear_gather_pair(f[..., 0], b_raw, p.grid_fused)
-        r, b = jax.vmap(one)(frames)
+        r, b = jax.vmap(lambda f: _warp_channels(f, p))(frames)
         bin1 = filter_lane_points_channels(
             r, b, filter_type=f1.filter_type, ksize_r=f1.ksize_r,
             C_r=f1.C_r, ksize_b=f1.ksize_b, C_b=f1.C_b,
@@ -88,14 +87,10 @@ def main(selected):
 
     # --- warp pair gather (both channels) ---
     def warp_body(c, p):
-        fr, braw = c
-        def one(f, b):
-            return bilinear_gather_pair(f[..., 0], b, p.grid_fused)
-        rr, bb = jax.vmap(one)(fr, braw)
+        rr, bb = jax.vmap(lambda f: _warp_channels(f, p))(c)
         d = dep_u8(rr) ^ dep_u8(bb)
-        return (fr ^ d, braw ^ d)
-    b_raw_d = jax.jit(jax.vmap(rgb2lab_b_fast))(chunk_d)
-    stages["warp_pair"] = (lambda: (chunk_d, b_raw_d), warp_body)
+        return c ^ d
+    stages["warp_pair"] = (lambda: chunk_d, warp_body)
 
     # --- filter stage (attempt 1, full) ---
     def filt_body(c, p):

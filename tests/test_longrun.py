@@ -91,7 +91,39 @@ def _cache_ref_filter(ref_lt):
     ref_lt.filter_lane_points = types.MethodType(cached, ref_lt)
 
 
-def test_long_sequence_success_ratio_parity(ref_process_module, calib):  # noqa: F811
+# The reference trace is pipeline-independent; compute it once and share
+# it across the pipeline parametrization (the live run is the slow part).
+_REF_LONGRUN_CACHE = {}
+
+
+def _ref_longrun_trace(ref_process_module, calib, preset, kw, config, unique,
+                       seq):
+    if preset in _REF_LONGRUN_CACHE:
+        return _REF_LONGRUN_CACHE[preset]
+    ref_lt = _make_ref_tracker(ref_process_module, calib)
+    _band_patch(ref_lt)
+    _patch_validity(ref_lt, config.validity)
+    _cache_ref_filter(ref_lt)
+    ref_valid, ref_detected = [], []
+    with _numpy_2017_shims():
+        for name in seq:
+            ref_lt.process(np.copy(unique[name]), **kw)
+            ref_valid.append(bool(ref_lt.valid_lane_lines))
+            ref_detected.append(bool(ref_lt.detected_pixels))
+    result = (
+        ref_valid,
+        ref_detected,
+        tuple(ref_lt.get_success_ratio()[1:]),
+        float(ref_lt.average_curve_radius),
+        float(ref_lt.eccentricity),
+    )
+    _REF_LONGRUN_CACHE[preset] = result
+    return result
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("pipeline", ["compat", "fast"])
+def test_long_sequence_success_ratio_parity(ref_process_module, calib, pipeline):  # noqa: F811
     import jax
 
     from lane_tracker_tpu.tracker.step import (
@@ -109,23 +141,16 @@ def test_long_sequence_success_ratio_parity(ref_process_module, calib):  # noqa:
     unique, seq = _frames()
     assert len(seq) >= 300
 
-    # ---- reference side ----
-    ref_lt = _make_ref_tracker(ref_process_module, calib)
-    _band_patch(ref_lt)
-    _patch_validity(ref_lt, config.validity)
-    _cache_ref_filter(ref_lt)
-    ref_valid, ref_detected = [], []
-    with _numpy_2017_shims():
-        for name in seq:
-            ref_lt.process(np.copy(unique[name]), **kw)
-            ref_valid.append(bool(ref_lt.valid_lane_lines))
-            ref_detected.append(bool(ref_lt.detected_pixels))
+    # ---- reference side (cached across the pipeline axis) ----
+    ref_valid, ref_detected, ref_ratio, ref_radius, ref_ecc = (
+        _ref_longrun_trace(
+            ref_process_module, calib, preset, kw, config, unique, seq))
 
     # ---- repo side: per-unique-frame front halves + scanned back half ----
     params = TrackerParams.build(
         cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
         warp.image_width_height, warp.warped_width_height,
-        warp.mppv, warp.mpph, pipeline="compat",
+        warp.mppv, warp.mpph, pipeline=pipeline,
     )
     front = jax.jit(
         lambda f, p: front_artifacts(f, p, config, hoist_second_attempt=True)
@@ -151,7 +176,7 @@ def test_long_sequence_success_ratio_parity(ref_process_module, calib):  # noqa:
 
     n_success = int(state.success)
     n_total = int(state.counter)
-    assert (n_success, n_total) == tuple(ref_lt.get_success_ratio()[1:])
+    assert (n_success, n_total) == ref_ratio
     assert sum(ref_valid) == n_success
 
     # The sequence must actually exercise the transitions it claims to.
@@ -163,6 +188,11 @@ def test_long_sequence_success_ratio_parity(ref_process_module, calib):  # noqa:
 
     # Final smoothed metrics agree (valid final frame by construction).
     assert my_valid[-1] and ref_valid[-1]
-    assert abs(int(last_out.radius) - ref_lt.average_curve_radius) <= max(
-        3, 0.01 * abs(ref_lt.average_curve_radius))
-    assert abs(float(last_out.ecc) - ref_lt.eccentricity) < 0.02
+    if pipeline == "compat":
+        assert abs(int(last_out.radius) - ref_radius) <= max(
+            3, 0.01 * abs(ref_radius))
+    else:
+        # Curvature-space comparison — see test_corpus.py for the
+        # conditioning argument (radius is 1/|2A|-shaped).
+        assert abs(1.0 / float(last_out.radius) - 1.0 / ref_radius) < 2.5e-5
+    assert abs(float(last_out.ecc) - ref_ecc) < 0.02

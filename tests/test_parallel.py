@@ -134,51 +134,19 @@ def test_fleet_streams_independent(tiny):
     assert detected[np.arange(8) != 3].any()
 
 
-def test_dryrun_multichip_entry():
+def test_dryrun_multichip_entry(monkeypatch):
     import importlib.util
     import pathlib
 
+    # The full-geometry fleet case runs in the driver; keep the suite at
+    # the tiny geometry (it alone takes ~minutes on the CPU backend).
+    monkeypatch.setenv("LT_DRYRUN_TINY_ONLY", "1")
     spec = importlib.util.spec_from_file_location(
         "graft_entry", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
-
-
-def test_mxu_pipeline_tracks_like_fast(tiny):
-    """pipeline='mxu' (matmul warp) through the full chunk pipeline on tiny
-    geometry: same detections as the gather-based fast pipeline."""
-    from lane_tracker_tpu.calib.synthetic import make_synthetic_calibration, tiny_config
-
-    cam, warp = make_synthetic_calibration(img_size=(128, 96), warped_size=(96, 128))
-    config = tiny_config()
-    kw = dict(
-        cam_matrix=cam.cam_matrix, dist_coeffs=cam.dist_coeffs,
-        M=warp.M, Minv=warp.Minv,
-        img_size=warp.image_width_height, warped_size=warp.warped_width_height,
-        mppv=warp.mppv, mpph=warp.mpph,
-    )
-    p_fast = TrackerParams.build(**kw, pipeline="fast")
-    p_mxu = TrackerParams.build(**kw, pipeline="mxu")
-    frames = _lane_frames(3)
-    s0 = make_initial_state(config, p_fast.warped_size)
-    _, out_f = jax.jit(lambda s, f: chunk_process(s, f, p_fast, config, True))(s0, frames)
-    _, out_m = jax.jit(lambda s, f: chunk_process(s, f, p_mxu, config, True))(s0, frames)
-    np.testing.assert_array_equal(np.asarray(out_f.detected), np.asarray(out_m.detected))
-    # First (blind-search) frame: coefficients close. Later frames see the
-    # band-search feedback loop amplify the small warp-filter differences
-    # on this noisy tiny scene, so only detection parity is required there.
-    lf, lm = np.asarray(out_f.left_coeffs, float), np.asarray(out_m.left_coeffs, float)
-    # Compare over the data-bearing bottom half (the quadratic extrapolates
-    # freely above the synthetic lane stripes).
-    yy = np.arange(64.0, 128.0)
-    assert bool(out_f.detected[0])
-    rmse = np.sqrt(np.mean((np.polyval(lf[0], yy) - np.polyval(lm[0], yy)) ** 2))
-    # Generous bound: at 128px-wide geometry the warp-filter differences are
-    # proportionally large; full-geometry quality is pinned by
-    # test_mxu_warp_matches_gather_on_synthetic and the bench quality check.
-    assert rmse < 8.0
 
 
 def test_rows_sharded_front_half_bit_exact(calib):
@@ -243,3 +211,45 @@ def test_fleet_metrics_psum_parity(tiny):
     assert int(metrics["detected_frames"]) == detected
     assert int(metrics["second_attempts"]) == attempts2
     assert int(metrics["frames"]) == 16
+
+
+def test_two_phase_second_attempt_equals_cond(tiny):
+    """second_attempt='two_phase' (attempt-1-only scan + one chunk-level
+    conditional batched fallback) must be bit-identical to the scanned
+    lax.cond path on BOTH branches: an all-valid chunk (fallback skipped)
+    and a failure-bearing chunk (fallback taken)."""
+    from lane_tracker_tpu.tracker.config import ValidityConfig
+
+    params, config = tiny
+    # Fully permissive validity so detected frames are attempt-1-valid
+    # (the tiny fixture's synthetic lanes fail the default tangent check,
+    # which would make every chunk take the fallback branch).
+    v = ValidityConfig(
+        min_dist_y1=0, max_dist_y1=10_000, min_dist_y2=0, max_dist_y2=10_000,
+        min_dist_y3=0, max_dist_y3=10_000, tangent_thresh=1e9)
+    config = config.replace(n_tries=2, validity=v)
+    good = _lane_frames(6)
+    bad = _lane_frames(6)
+    bad[2] = 0  # attempt 1 fails -> the chunk-level fallback must fire
+    bad[3] = 0
+    state0 = make_initial_state(config, params.warped_size)
+
+    run_cond = jax.jit(
+        lambda s, f: chunk_process(s, f, params, config, True,
+                                   second_attempt="cond"))
+    run_2p = jax.jit(
+        lambda s, f: chunk_process(s, f, params, config, True,
+                                   second_attempt="two_phase"))
+
+    # Warm the state on one chunk first: the blind first frame needs its
+    # second attempt even on good content, so the all-attempt-1-valid
+    # (keep-branch) case only exists with a warm band-search state.
+    state_w, _ = run_cond(state0, good)
+
+    for frames, expect_fallback in ((good, False), (bad, True)):
+        st_a, out_a = run_cond(state_w, frames)
+        st_b, out_b = run_2p(state_w, frames)
+        assert (np.asarray(out_a.n_attempts) == 2).any() == expect_fallback
+        for la, lb in zip(jax.tree_util.tree_leaves((st_a, out_a)),
+                          jax.tree_util.tree_leaves((st_b, out_b))):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

@@ -134,41 +134,6 @@ def test_identity_warp_roundtrip():
     np.testing.assert_array_equal(img, np.asarray(bilinear_gather(img, grid)))
 
 
-def test_mxu_warp2_matches_gather_on_synthetic():
-    """The banded matmul two-pass warp vs the packed-gather fused warp
-    (tiny geometry; pass-2 kernel in interpret mode on CPU)."""
-    from lane_tracker_tpu.calib.synthetic import make_synthetic_calibration
-    from lane_tracker_tpu.calib.undistort import fused_undistort_warp_grid
-    from lane_tracker_tpu.kernels.resample_mxu2 import MxuWarp2
-
-    cam, warp = make_synthetic_calibration(img_size=(128, 96), warped_size=(96, 128))
-    rng = np.random.default_rng(3)
-    r = rng.integers(0, 256, (96, 128), dtype=np.uint8)
-    b = rng.integers(0, 256, (96, 128), dtype=np.uint8)
-
-    grid = ResampleGrid.from_quantized(
-        fused_undistort_warp_grid(
-            cam.cam_matrix, cam.dist_coeffs, warp.M,
-            warp.image_width_height, warp.warped_width_height,
-        )
-    )
-    ref_r = np.asarray(bilinear_gather(r, grid)).astype(np.int32)
-    ref_b = np.asarray(bilinear_gather(b, grid)).astype(np.int32)
-    mxu = MxuWarp2.build(
-        cam.cam_matrix, cam.dist_coeffs, warp.M,
-        warp.image_width_height, warp.warped_width_height, band=128,
-    )
-    got = np.asarray(mxu(np.stack([r, b]))).astype(np.int32)
-    for ref, ch in ((ref_r, got[0]), (ref_b, got[1])):
-        cov = ref > 0
-        diff = np.abs(ref - ch)
-        # Same sample points, different tensor-product filter + bf16
-        # intermediates: agree closely over the covered region.
-        assert np.median(diff[cov]) <= 1
-        assert diff[cov].mean() < 2.0
-        assert (diff[cov] > 8).mean() < 0.05
-
-
 def test_bilinear_gather_pair_matches_single():
     from lane_tracker_tpu.calib.synthetic import make_synthetic_calibration
     from lane_tracker_tpu.calib.undistort import fused_undistort_warp_grid

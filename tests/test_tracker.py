@@ -310,54 +310,6 @@ def test_process_chunk_matches_process(calib):
         ov_first, np.asarray(lt_ref.last_output.overlay))
 
 
-def test_mxu_pipeline_quality_full_geometry(calib):
-    """pipeline='mxu' (banded matmul warp) at REAL geometry: <0.5 px
-    coefficient-curve RMSE vs the gather-based fast pipeline on the
-    frame911 -> frame971 warm-start pair (VERDICT r1 item 9).
-
-    On CPU the pass-2 kernel runs in interpret mode (auto-detected).
-    """
-    from PIL import Image
-
-    from tests.conftest import ASSETS_DIR
-    from lane_tracker_tpu.parallel.pipeline import chunk_process
-    from lane_tracker_tpu.tracker.step import TrackerParams, make_initial_state
-
-    cam, warp = calib
-    kw = dict(
-        cam_matrix=cam.cam_matrix, dist_coeffs=cam.dist_coeffs,
-        M=warp.M, Minv=warp.Minv,
-        img_size=warp.image_width_height, warped_size=warp.warped_width_height,
-        mppv=warp.mppv, mpph=warp.mpph,
-    )
-    p_fast = TrackerParams.build(**kw, pipeline="fast")
-    p_mxu = TrackerParams.build(**kw, pipeline="mxu")
-    config = PRESETS["demo1"]
-
-    f911 = np.asarray(Image.open(ASSETS_DIR / "frame911.jpg").convert("RGB"))
-    f971 = np.asarray(Image.open(ASSETS_DIR / "frame971.jpg").convert("RGB"))
-    frames = np.stack([f911, f971])
-    s0 = make_initial_state(config, p_fast.warped_size)
-
-    import jax
-
-    _, out_f = jax.jit(
-        lambda s, fr, p: chunk_process(s, fr, p, config, False)
-    )(s0, frames, p_fast)
-    _, out_m = jax.jit(
-        lambda s, fr, p: chunk_process(s, fr, p, config, False)
-    )(s0, frames, p_mxu)
-
-    assert np.asarray(out_f.valid).all() and np.asarray(out_m.valid).all()
-    yy = np.arange(1100, dtype=float)
-    for t in range(2):
-        for side in ("left_coeffs", "right_coeffs"):
-            cf = np.asarray(getattr(out_f, side)[t], float)
-            cm = np.asarray(getattr(out_m, side)[t], float)
-            rmse = np.sqrt(np.mean((np.polyval(cf, yy) - np.polyval(cm, yy)) ** 2))
-            assert rmse < 0.5, (t, side, rmse)
-
-
 def _split_numbers(line):
     """(template-with-placeholders, [floats]) for tolerance-aware diffs."""
     import re
