@@ -166,7 +166,7 @@ def _morph(base_read, work0, work1, acc, ksize, op, neutral,
 
 def _tophat_kernel(
     in_hbm, out_ref, stage, w0, w1, acc, dacc, sem,
-    *, ksize, block, halo, mv, mx, h_img, w_img, cols,
+    *, ksize, block, halo, mv, mx, h_img, w_img, cols, dtype,
 ):
     t = pl.program_id(0)  # frame within the batch
     i = pl.program_id(1)  # row block within the frame
@@ -186,7 +186,12 @@ def _tophat_kernel(
     cp.wait()
 
     def base_read(rs, cs):
-        return stage[rs, cs].astype(jnp.int32)
+        # Two-step cast: Mosaic rejects direct u8 -> float casts.  bf16 is
+        # the default compute type — all values are 0..255 integers (exact
+        # in bf16) and morphology is min/max only, so results stay
+        # bit-exact while VMEM sweep traffic (the measured cost driver)
+        # halves vs i32: tophat29 0.191 -> 0.141 ms/frame measured.
+        return stage[rs, cs].astype(jnp.int32).astype(dtype)
 
     # Tight per-phase row extents: the final subtract needs only this
     # block's rows [mv+2r, mv+2r+block); the dilate producing them reads
@@ -208,19 +213,21 @@ def _tophat_kernel(
     in_img = (
         (grow >= 0) & (grow < h_img) & (cols_i >= mx) & (cols_i < mx + w_img)
     )
-    acc[e_lo:e_lo + e_n, :] = jnp.where(in_img, acc[e_lo:e_lo + e_n, :], 0)
+    acc[e_lo:e_lo + e_n, :] = jnp.where(
+        in_img, acc[e_lo:e_lo + e_n, :], jnp.asarray(0, dtype))
 
     # ---- dilate of the eroded image (aggregates over the eroded rows) ----
     _morph(_read_of(acc), w0, w1, dacc, ksize, jnp.maximum, 0,
            mx, w, mv + 2 * r, block, e_lo, e_n)
 
     # ---- tophat = x - opened; emit this block's output rows ----
+    # (differences of 0..255 integers are exact in bf16)
     s = mv + halo
     diff = (
-        stage[s:s + block, mx:mx + w].astype(jnp.int32)
+        stage[s:s + block, mx:mx + w].astype(jnp.int32).astype(dtype)
         - dacc[s:s + block, mx:mx + w]
     )
-    out_ref[0, :, mx:mx + w] = diff.astype(jnp.uint8)
+    out_ref[0, :, mx:mx + w] = diff.astype(jnp.int32).astype(jnp.uint8)
 
 
 def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
@@ -251,10 +258,12 @@ def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
                     jnp.uint8)
     hbuf = jax.lax.dynamic_update_slice(hbuf, img, (0, halo, mx))
 
+    dtype = jnp.bfloat16
     kernel = functools.partial(
         _tophat_kernel,
         ksize=int(ksize), block=int(block), halo=int(halo),
         mv=int(mv), mx=int(mx), h_img=int(H), w_img=int(W), cols=int(cols),
+        dtype=dtype,
     )
     out = pl.pallas_call(
         kernel,
@@ -265,10 +274,10 @@ def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rows, cols), jnp.uint8),   # stage
-            pltpu.VMEM((rows, cols), jnp.int32),   # w0
-            pltpu.VMEM((rows, cols), jnp.int32),   # w1
-            pltpu.VMEM((rows, cols), jnp.int32),   # acc (eroded)
-            pltpu.VMEM((rows, cols), jnp.int32),   # dacc (opened)
+            pltpu.VMEM((rows, cols), dtype),       # w0
+            pltpu.VMEM((rows, cols), dtype),       # w1
+            pltpu.VMEM((rows, cols), dtype),       # acc (eroded)
+            pltpu.VMEM((rows, cols), dtype),       # dacc (opened)
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -611,7 +620,7 @@ def filter_stage_v2(
 
 def _merge_open_kernel(
     r_hbm, b_hbm, k_hbm, out_ref, sr, sb, sk, w0, w1, acc, dacc, sem3,
-    *, block, halo, mv, mx, h_img, w_img, cols, has_keep,
+    *, block, halo, mv, mx, h_img, w_img, cols, has_keep, dtype,
 ):
     tf = pl.program_id(0)
     i = pl.program_id(1)
@@ -631,14 +640,15 @@ def _merge_open_kernel(
     for cp in cps:
         cp.wait()
 
-    # Merge: (r | b) & keep, in i32; out-of-image positions are 255 from
-    # the host pad (erode neutral).  Write into acc's full data rows.
+    # Merge: (r | b) & keep — on {0, 255} binaries these are max and min,
+    # which bf16 evaluates exactly (no bitwise ops on floats).
+    # Out-of-image positions are 255 from the host pad (erode neutral).
     rows = slice(0, sr.shape[0])
-    rv = sr[rows, :].astype(jnp.int32)
-    bv = sb[rows, :].astype(jnp.int32)
-    m = rv | bv
+    rv = sr[rows, :].astype(jnp.int32).astype(dtype)
+    bv = sb[rows, :].astype(jnp.int32).astype(dtype)
+    m = jnp.maximum(rv, bv)
     if has_keep:
-        m = m & sk[rows, :].astype(jnp.int32)
+        m = jnp.minimum(m, sk[rows, :].astype(jnp.int32).astype(dtype))
     dacc[rows, :] = m  # dacc temporarily holds the merged binary
 
     r = 2  # ellipse-5 radius
@@ -653,13 +663,15 @@ def _merge_open_kernel(
     in_img = (
         (grow >= 0) & (grow < h_img) & (cols_i >= mx) & (cols_i < mx + w_img)
     )
-    acc[e_lo:e_lo + e_n, :] = jnp.where(in_img, acc[e_lo:e_lo + e_n, :], 0)
+    acc[e_lo:e_lo + e_n, :] = jnp.where(
+        in_img, acc[e_lo:e_lo + e_n, :], jnp.asarray(0, dtype))
 
     _morph(_read_of(acc), w0, w1, dacc, 5, jnp.maximum, 0,
            mx, w, mv + 2 * r, block, e_lo, e_n)
 
     s = mv + 2 * r
-    out_ref[0, :, mx:mx + w] = dacc[s:s + block, mx:mx + w].astype(jnp.uint8)
+    out_ref[0, :, mx:mx + w] = (
+        dacc[s:s + block, mx:mx + w].astype(jnp.int32).astype(jnp.uint8))
 
 
 def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
@@ -697,10 +709,12 @@ def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
     ins = [pad(r_th, 255), pad(b_th, 0),
            pad(keep, 255) if has_keep else pad(r_th, 0)]
 
+    dtype = jnp.bfloat16
     kernel = functools.partial(
         _merge_open_kernel,
         block=int(block), halo=int(halo), mv=int(mv), mx=int(mx),
         h_img=int(H), w_img=int(W), cols=int(cols), has_keep=has_keep,
+        dtype=dtype,
     )
     out = pl.pallas_call(
         kernel,
@@ -713,10 +727,10 @@ def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
             pltpu.VMEM((rows, cols), jnp.uint8),   # sr
             pltpu.VMEM((rows, cols), jnp.uint8),   # sb
             pltpu.VMEM((rows, cols), jnp.uint8),   # sk
-            pltpu.VMEM((rows, cols), jnp.int32),   # w0
-            pltpu.VMEM((rows, cols), jnp.int32),   # w1
-            pltpu.VMEM((rows, cols), jnp.int32),   # acc
-            pltpu.VMEM((rows, cols), jnp.int32),   # dacc
+            pltpu.VMEM((rows, cols), dtype),       # w0
+            pltpu.VMEM((rows, cols), dtype),       # w1
+            pltpu.VMEM((rows, cols), dtype),       # acc
+            pltpu.VMEM((rows, cols), dtype),       # dacc
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -67,10 +67,15 @@ def build_row_prefixes(binary: jnp.ndarray) -> RowPrefixes:
     Computed as three MXU matmuls against a shared triangular ones matrix
     instead of a lane cumsum: a log-depth cumsum costs ~11 full HBM
     passes (~0.17 ms/frame measured) while the MXU does the same
-    reduction in a few GFLOP of otherwise-idle matmul.  Exactness: all
-    inputs are integers <= 255 (x split into high/low bytes), exactly
-    representable in bf16, and the f32 accumulation of <= 1080 such
-    terms is exact (< 2^24).
+    reduction in a few GFLOP of otherwise-idle matmul.  A two-level
+    block-prefix decomposition (8x fewer FLOPs) was tried in round 3 and
+    LOST on hardware — 0.137-0.197 vs 0.094 ms/frame across block sizes
+    135..540 — because the dense matmul already runs at ~50% MXU
+    utilization while skinny-K/N block matmuls pad badly and add
+    elementwise recombination passes.  Exactness: all inputs are
+    integers <= 255 (x split into high/low bytes), exactly representable
+    in bf16, and the f32 accumulation of <= 1080 such terms is exact
+    (< 2^24).
     """
     H, W = binary.shape
     shift = _count_shift(W)
