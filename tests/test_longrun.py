@@ -196,3 +196,48 @@ def test_long_sequence_success_ratio_parity(ref_process_module, calib, pipeline)
         # conditioning argument (radius is 1/|2A|-shaped).
         assert abs(1.0 / float(last_out.radius) - 1.0 / ref_radius) < 2.5e-5
     assert abs(float(last_out.ecc) - ref_ecc) < 0.02
+
+
+@pytest.mark.slow
+def test_motion_segment_parity(ref_process_module, calib):  # noqa: F811
+    """Continuous-MOTION parity (round-2 verdict #7): a 60-frame smoothly
+    panned/rotated/zoomed segment (every frame unique, so band search
+    tracks real movement) through both the live reference and the chunked
+    fast pipeline; per-frame traces must match exactly.  The full
+    1,200-frame version is scripts/motion_longrun.py (results recorded in
+    docs/PERFORMANCE.md)."""
+    import importlib.util
+    import pathlib
+
+    from tests.test_tracker import DEMO1_KW, _make_ref_tracker, _make_tpu_tracker
+
+    spec = importlib.util.spec_from_file_location(
+        "motion_longrun",
+        pathlib.Path(__file__).parent.parent / "scripts" / "motion_longrun.py")
+    motion = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(motion)
+
+    n = 60
+    ref_lt = _make_ref_tracker(ref_process_module, calib)
+    _band_patch(ref_lt)
+    _patch_validity(ref_lt, PRESETS["demo1"].validity)
+    ref_valid, ref_detected = [], []
+    with _numpy_2017_shims():
+        for _, frame in motion.motion_sequence(n):
+            ref_lt.process(np.copy(frame), **DEMO1_KW)
+            ref_valid.append(bool(ref_lt.valid_lane_lines))
+            ref_detected.append(bool(ref_lt.detected_pixels))
+
+    tpu = _make_tpu_tracker(calib, validity=PRESETS["demo1"].validity,
+                            pipeline="fast")
+    frames = np.stack([f for _, f in motion.motion_sequence(n)])
+    outs = tpu.process_chunk(frames, with_overlay=False, **DEMO1_KW)
+    my_valid = [bool(v) for v in np.asarray(outs.valid)]
+    my_detected = [bool(v) for v in np.asarray(outs.detected)]
+
+    assert my_valid == ref_valid
+    assert my_detected == ref_detected
+    assert tuple(int(v) for v in tpu.get_success_ratio()[1:]) == tuple(
+        ref_lt.get_success_ratio()[1:])
+    # The segment must actually run warm (band search on moving content).
+    assert sum(ref_valid[1:]) >= n // 2
