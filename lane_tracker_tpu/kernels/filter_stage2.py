@@ -439,17 +439,43 @@ def _after_sums_v(base_read, work0, work1, acc, k, cx, cw, row_lo, row_n):
         g *= 2
 
 
+@functools.lru_cache(maxsize=None)
+def _h_after_band_np(cols: int, k: int):
+    """(cols, cols) 0/1 band: column x of S @ B = sum of the k elements
+    strictly right of x (the horizontal AFTER-sum, zero-padded borders
+    via the staged margins)."""
+    import numpy as np
+
+    c = np.arange(cols)[:, None]
+    x = np.arange(cols)[None, :]
+    return ((c >= x + 1) & (c <= x + k)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _v_after_band_np(vm: int, vk: int, k: int):
+    """(vm, vk) 0/1 band: row i of B @ S = sum of source rows i+1..i+k
+    (the vertical AFTER-sum)."""
+    import numpy as np
+
+    i = np.arange(vm)[:, None]
+    j = np.arange(vk)[None, :]
+    return ((j - i >= 1) & (j - i <= k)).astype(np.float32)
+
+
 def _threshold_kernel(
-    in_hbm, out_ref, stage, w0, w1, acc, cond, sem,
-    *, k, C, block, halo, mv, mx, w_img, cols, noise_thresh,
+    in_hbm, uh_ref, vb_ref, out_ref, stage, sbf, fH, fV, sem,
+    *, k, C, block, halo, mv, mx, w_img, cols, noise_thresh, vm, vk,
 ):
     """Bilateral cross threshold (mode='floor'); optionally the noise-mask
     'keep' output when noise_thresh >= 0 (lane_tracker.py:221-231).
 
-    Every statement is confined to the rows its consumer needs: the
-    horizontal phase and the condition only ever touch this block's
-    OUTPUT rows; the vertical after-sum covers output rows plus the k+1
-    rows above (its shifted before-read).
+    Both window-sum arms are MXU band matmuls against static 0/1 band
+    matrices — probe6 measured in-kernel dots overlapping the VPU
+    near-perfectly, and even standalone they beat the VPU pyramids (the
+    VPU here is sweep-bound).  Exactness: operands are 0..255 integers
+    (exact in bf16), band entries are 0/1, and f32 accumulation of <= k
+    such terms is exact; the strict-< compares then run on exact f32
+    integers.  before(y|x) = after(y-k-1 | x-k-1) as always.
     """
     tf = pl.program_id(0)  # frame within the batch
     i = pl.program_id(1)  # row block within the frame
@@ -457,6 +483,7 @@ def _threshold_kernel(
     in_rows = R - 2 * mv
     w = w_img
     o_lo = mv + halo  # first output row in buffer coordinates
+    a_lo = o_lo - k - 1  # first vertical-sum row (the before-read)
 
     cp = pltpu.make_async_copy(
         in_hbm.at[tf, pl.ds(i * block, in_rows), :],
@@ -468,45 +495,31 @@ def _threshold_kernel(
     stage[mv + in_rows:, :] = jnp.zeros((mv, cols), jnp.uint8)
     cp.wait()
 
-    def base_read(rs, cs):
-        return stage[rs, cs].astype(jnp.int32)
+    # One bf16 staging sweep feeds both dot operands.
+    sbf[:, :] = stage[:, :].astype(jnp.int32).astype(jnp.bfloat16)
 
-    def thr():
-        # pass iff arm sum < k*x - C*k over the output rows; recomputed
-        # per use so no value stays live across the arm phases.
-        x = base_read(slice(o_lo, o_lo + block), slice(mx, mx + w))
-        return jnp.int32(k) * x - jnp.int32(C * k)
+    # Horizontal after-sums for the output rows: (block, cols) @ (cols,
+    # cols); vertical after-sums for rows [a_lo, a_lo + vm): (vm, vk) @
+    # (vk, cols).  Rows beyond the data are zeroed margins and the band
+    # matrices are zero outside their reach, so padding contributes 0.
+    fH[:, :] = jnp.dot(sbf[o_lo:o_lo + block, :], uh_ref[...],
+                       preferred_element_type=jnp.float32)
+    fV[:, :] = jnp.dot(vb_ref[...], sbf[a_lo:a_lo + vk, :],
+                       preferred_element_type=jnp.float32)
 
-    # ---- horizontal arms (output rows only): after-sums + shifted read
-    # for before-sums ----
-    _after_sums_h(base_read, w0, w1, acc, k, mx, w, o_lo, block, cols)
-    tt = thr()
-    after = acc[o_lo:o_lo + block, mx:mx + w]
-    before = acc[o_lo:o_lo + block, mx - k - 1:mx - k - 1 + w]
-    cond[o_lo:o_lo + block, mx:mx + w] = (
-        (before < tt) & (after < tt)
-    ).astype(jnp.int32)
-
-    # ---- vertical arms: pow2 after-sum pyramid (the VPU is sweep-bound,
-    # so ~2*log2(k) statements beat the k direct sublane reads ~4x for
-    # k=65); acc's horizontal sums are dead once cond is written, so it
-    # becomes the vertical target and before(y) = after(y - k - 1) ----
-    A = acc
-    a_lo = o_lo - k - 1
-    a_n = block + k + 1
-    _after_sums_v(base_read, w0, w1, A, k, mx, w, a_lo, a_n)
-
-    tt = thr()
-    v_after = A[o_lo:o_lo + block, mx:mx + w]
-    v_before = A[o_lo - k - 1:o_lo - k - 1 + block, mx:mx + w]
+    x = sbf[o_lo:o_lo + block, mx:mx + w].astype(jnp.float32)
+    tt = jnp.float32(k) * x - jnp.float32(C * k)
+    h_after = fH[:, mx:mx + w]
+    h_before = fH[:, mx - k - 1:mx - k - 1 + w]
+    v_after = fV[k + 1:k + 1 + block, mx:mx + w]
+    v_before = fV[0:block, mx:mx + w]
     hit = (
-        (cond[o_lo:o_lo + block, mx:mx + w] > 0)
+        ((h_before < tt) & (h_after < tt))
         | ((v_before < tt) & (v_after < tt))
     )
     if noise_thresh >= 0:
         # keep = NOT inRange(x, noise_thresh, 255) OR bilateral hit.
-        x = base_read(slice(o_lo, o_lo + block), slice(mx, mx + w))
-        hit = (x < jnp.int32(noise_thresh)) | hit
+        hit = (x < jnp.float32(noise_thresh)) | hit
     # Select in i32 then cast: Mosaic rejects u8 vector selects here.
     out_ref[0, :, mx:mx + w] = jnp.where(
         hit, jnp.int32(255), jnp.int32(0)).astype(jnp.uint8)
@@ -536,38 +549,48 @@ def bilateral_threshold_pallas2(
     k = int(ksize)
     halo = k
     if block is None:
-        # Larger k needs wider margins/halos; the after-sums design keeps
-        # 4 live i32 buffers, so even k=65 fits quarter-height blocks.
-        block = _round_up(-(-H // (3 if k <= 35 else 4)), 8)
+        block = _round_up(-(-H // 3), 8)
     grid = -(-H // block)
-    mv = _round_up(k + 1, 8)
     mx = _round_up(k + 1, 64)
     cols = _round_up(W + 2 * mx, LANE)
+    vm = _round_up(block + k + 1, 8)
+    vk = _round_up(vm + k, LANE)
+    # Margins: k+1 rows of zeros for the sums' zero padding, and enough
+    # bottom slack that the vertical dot's (vk)-row operand read stays in
+    # bounds: a_lo + vk <= rows  <=>  vk <= block + 2k + mv + 1.
+    mv = _round_up(max(k + 1, vk - block - 2 * k - 1), 8)
     in_rows = _round_up(block + 2 * halo, 8)
     rows = in_rows + 2 * mv
 
     hbuf = jnp.zeros((T, grid * block + (in_rows - block), cols), jnp.uint8)
     hbuf = jax.lax.dynamic_update_slice(hbuf, img, (0, halo, mx))
+    uh = jnp.asarray(_h_after_band_np(cols, k), jnp.bfloat16)
+    vb = jnp.asarray(_v_after_band_np(vm, vk, k), jnp.bfloat16)
 
     kernel = functools.partial(
         _threshold_kernel,
         k=k, C=int(C), block=int(block), halo=int(halo),
         mv=int(mv), mx=int(mx), w_img=int(W), cols=int(cols),
-        noise_thresh=int(noise_thresh),
+        noise_thresh=int(noise_thresh), vm=int(vm), vk=int(vk),
     )
     out = pl.pallas_call(
         kernel,
         grid=(T, grid),
         out_shape=jax.ShapeDtypeStruct((T, grid * block, cols), jnp.uint8),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((cols, cols), lambda t, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vm, vk), lambda t, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows, cols), jnp.uint8),   # stage
-            pltpu.VMEM((rows, cols), jnp.int32),   # w0 (pyramid / A)
-            pltpu.VMEM((rows, cols), jnp.int32),   # w1 (pyramid)
-            pltpu.VMEM((rows, cols), jnp.int32),   # acc (h after-sums)
-            pltpu.VMEM((rows, cols), jnp.int32),   # cond
+            pltpu.VMEM((rows, cols), jnp.uint8),     # stage
+            pltpu.VMEM((rows, cols), jnp.bfloat16),  # sbf (dot operand)
+            pltpu.VMEM((block, cols), jnp.float32),  # fH (h after-sums)
+            pltpu.VMEM((vm, cols), jnp.float32),     # fV (v after-sums)
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -575,7 +598,7 @@ def bilateral_threshold_pallas2(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(hbuf)
+    )(hbuf, uh, vb)
     out = out[:, :H, mx:mx + W]
     return out[0] if squeeze else out
 
@@ -596,13 +619,15 @@ def filter_stage_v2(
     ksize_noise: int = 65,
     C_noise: int = 10,
     noise_thresh: int = 135,
+    emit_prefixes: bool = False,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """Bilateral-mode filter stage via the v2 stage kernels.
 
     Same contract as ops.filters.filter_lane_points_channels with
     filter_type='bilateral' (lane_tracker.py:183-240): tophats, cross
-    thresholds, optional noise mask, then the fused merge + 5x5 open.
+    thresholds, optional noise mask, then the fused merge + 5x5 open
+    (which with ``emit_prefixes`` also returns the packed row prefixes).
     """
     r_feat = tophat_pallas2(rgb_r, 29, interpret=interpret)
     b_feat = tophat_pallas2(lab_b, 55, interpret=interpret)
@@ -615,12 +640,15 @@ def filter_stage_v2(
         keep = bilateral_threshold_pallas2(
             lab_b, ksize_noise, C_noise, noise_thresh=noise_thresh,
             interpret=interpret)
-    return merge_open_pallas2(r_th, b_th, keep, interpret=interpret)
+    return merge_open_pallas2(r_th, b_th, keep,
+                              emit_prefixes=emit_prefixes,
+                              interpret=interpret)
 
 
 def _merge_open_kernel(
     r_hbm, b_hbm, k_hbm, out_ref, sr, sb, sk, w0, w1, acc, dacc, sem3,
     *, block, halo, mv, mx, h_img, w_img, cols, has_keep, dtype,
+    tri_ref=None, pref_ref=None, kp=0, shift=0,
 ):
     tf = pl.program_id(0)
     i = pl.program_id(1)
@@ -673,15 +701,64 @@ def _merge_open_kernel(
     out_ref[0, :, mx:mx + w] = (
         dacc[s:s + block, mx:mx + w].astype(jnp.int32).astype(jnp.uint8))
 
+    if pref_ref is not None:
+        # Packed row prefixes (ops/integrals.py layout) as three MXU dots
+        # against a zero-padded triangular matrix.  probe6 measured the
+        # MXU overlapping VPU sweeps in-kernel (sweeps 0.052 + dots 0.025
+        # -> 0.054 ms combined), so these ride the VPU-bound open for
+        # ~free where the standalone XLA matmul pass cost 0.094 ms/frame.
+        # Columns beyond the image hold finite merged values (never
+        # dilate-written garbage) and tri's rows >= w_img are zero, so
+        # they contribute exactly 0.
+        binb = jnp.minimum(dacc[s:s + block, mx:mx + kp],
+                           jnp.asarray(1, dtype))
+        xs = jax.lax.broadcasted_iota(jnp.int32, (block, kp), 1)
+        hi = (xs >> 8).astype(dtype)
+        lo = (xs & 0xFF).astype(dtype)
+        tri = tri_ref[...]
+        p0 = jnp.dot(binb, tri, preferred_element_type=jnp.float32)
+        ph = jnp.dot(binb * hi, tri, preferred_element_type=jnp.float32)
+        plo = jnp.dot(binb * lo, tri, preferred_element_type=jnp.float32)
+        packed = (
+            ((ph.astype(jnp.int32) << 8) + plo.astype(jnp.int32)) << shift
+        ) | p0.astype(jnp.int32)
+        pref_ref[0, :, :] = packed
+
+
+def _merge_open_pref_kernel(r_hbm, b_hbm, k_hbm, tri_ref, out_ref, pref_ref,
+                            sr, sb, sk, w0, w1, acc, dacc, sem3, **kw):
+    _merge_open_kernel(
+        r_hbm, b_hbm, k_hbm, out_ref, sr, sb, sk, w0, w1, acc, dacc, sem3,
+        tri_ref=tri_ref, pref_ref=pref_ref, **kw)
+
+
+@functools.lru_cache(maxsize=4)
+def _tri_pad_np(w_img: int, kp: int):
+    """Zero-padded strictly-lower-triangular ones (kp, kp): rows >= w_img
+    and columns > w_img are zero (the prefix is only defined at the
+    image's W+1 boundary positions)."""
+    import numpy as np
+
+    xs = np.arange(kp)[:, None]
+    Xs = np.arange(kp)[None, :]
+    t = (xs < Xs) & (xs < w_img) & (Xs <= w_img)
+    return t.astype(np.float32)
+
 
 def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
+                       emit_prefixes: bool = False,
                        interpret: bool = False):
     """Channel merge (+ optional noise keep-mask AND) followed by the 5x5
     elliptical open (lane_tracker.py:234-238), fused in one kernel.
 
     Accepts (H, W) or (T, H, W); bit-exact with
-    ``open_ellipse((r|b)&keep, 5)``.
+    ``open_ellipse((r|b)&keep, 5)``.  With ``emit_prefixes`` also returns
+    the packed row prefixes of the result (ops/integrals.py layout, (...,
+    H, W+1) int32) computed by in-kernel MXU dots that overlap the
+    VPU-bound open (probe6) — replacing the 0.094 ms standalone matmul.
     """
+    from lane_tracker_tpu.ops.integrals import RowPrefixes, _count_shift
+
     squeeze = r_th.ndim == 2
     if squeeze:
         r_th = r_th[None]
@@ -698,6 +775,11 @@ def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
     in_rows = _round_up(block + 2 * halo, 8)
     rows = in_rows + 2 * mv
     has_keep = keep is not None
+    kp = _round_up(W + 1, LANE)
+    if emit_prefixes and mx + kp > cols:
+        # The dot operand is read from dacc at [mx, mx + kp); widen the
+        # column padding when the image is too narrow to cover it.
+        cols = _round_up(mx + kp, LANE)
 
     def pad(x, fill):
         buf = jnp.full((T, grid * block + (in_rows - block), cols), fill,
@@ -710,51 +792,107 @@ def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
            pad(keep, 255) if has_keep else pad(r_th, 0)]
 
     dtype = jnp.bfloat16
-    kernel = functools.partial(
-        _merge_open_kernel,
+    static = dict(
         block=int(block), halo=int(halo), mv=int(mv), mx=int(mx),
         h_img=int(H), w_img=int(W), cols=int(cols), has_keep=has_keep,
         dtype=dtype,
     )
-    out = pl.pallas_call(
-        kernel,
+    scratch = [
+        pltpu.VMEM((rows, cols), jnp.uint8),   # sr
+        pltpu.VMEM((rows, cols), jnp.uint8),   # sb
+        pltpu.VMEM((rows, cols), jnp.uint8),   # sk
+        pltpu.VMEM((rows, cols), dtype),       # w0
+        pltpu.VMEM((rows, cols), dtype),       # w1
+        pltpu.VMEM((rows, cols), dtype),       # acc
+        pltpu.VMEM((rows, cols), dtype),       # dacc
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,
+        dimension_semantics=("arbitrary", "arbitrary"),
+    )
+    if not emit_prefixes:
+        out = pl.pallas_call(
+            functools.partial(_merge_open_kernel, **static),
+            grid=(T, grid),
+            out_shape=jax.ShapeDtypeStruct((T, grid * block, cols),
+                                           jnp.uint8),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            out_specs=pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interpret,
+        )(*ins)
+        out = out[:, :H, mx:mx + W]
+        return out[0] if squeeze else out
+
+    shift = _count_shift(W)
+    tri = jnp.asarray(_tri_pad_np(W, kp), jnp.bfloat16)
+    out, pref = pl.pallas_call(
+        functools.partial(_merge_open_pref_kernel, **static,
+                          kp=int(kp), shift=int(shift)),
         grid=(T, grid),
-        out_shape=jax.ShapeDtypeStruct((T, grid * block, cols), jnp.uint8),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-        out_specs=pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((rows, cols), jnp.uint8),   # sr
-            pltpu.VMEM((rows, cols), jnp.uint8),   # sb
-            pltpu.VMEM((rows, cols), jnp.uint8),   # sk
-            pltpu.VMEM((rows, cols), dtype),       # w0
-            pltpu.VMEM((rows, cols), dtype),       # w1
-            pltpu.VMEM((rows, cols), dtype),       # acc
-            pltpu.VMEM((rows, cols), dtype),       # dacc
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("arbitrary", "arbitrary"),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, grid * block, cols), jnp.uint8),
+            jax.ShapeDtypeStruct((T, grid * block, kp), jnp.int32),
         ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3 + [
+            pl.BlockSpec((kp, kp), lambda t, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, kp), lambda t, i: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=scratch,
+        compiler_params=params,
         interpret=interpret,
-    )(*ins)
+    )(*ins, tri)
     out = out[:, :H, mx:mx + W]
-    return out[0] if squeeze else out
+    prefixes = RowPrefixes(packed=pref[:, :H, :W + 1])
+    if squeeze:
+        return out[0], RowPrefixes(packed=prefixes.packed[0])
+    return out, prefixes
+
+
+@functools.lru_cache(maxsize=None)
+def _h_box_band_np(cols: int, k: int):
+    """(cols, cols) 0/1 band: centered k-window column sums."""
+    import numpy as np
+
+    r = k // 2
+    c = np.arange(cols)[:, None]
+    x = np.arange(cols)[None, :]
+    return (np.abs(c - x) <= r).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _v_box_band_np(vm: int, hk: int, k: int):
+    """(vm, hk) 0/1 band: row t sums source rows t..t+2r (the centered
+    vertical window over an h-sum plane whose row 0 is output row -r)."""
+    import numpy as np
+
+    r = k // 2
+    t = np.arange(vm)[:, None]
+    j = np.arange(hk)[None, :]
+    return ((j >= t) & (j <= t + 2 * r)).astype(np.float32)
 
 
 def _adaptive_mean_kernel(
-    in_hbm, out_ref, stage, w0, w1, acc, vbuf, sem,
-    *, k, idelta, block, halo, mv, mx, w_img, cols,
+    in_hbm, uc_ref, vc_ref, out_ref, stage, sbf, fH, sem,
+    *, k, idelta, block, halo, mv, mx, w_img, cols, hm, hk,
 ):
     """cv2.adaptiveThreshold MEAN_C/BINARY (ops/threshold.py semantics).
 
     k is odd, so the window area k*k is odd and OpenCV's round-half-even
     box mean equals round-half-up — the threshold compare then needs no
     division: mean < img + idelta  <=>  2*boxsum + A < 2*A*(img + idelta).
-    The box sum itself is the horizontal AFTER-sum read at a -(r+1) lane
-    offset (a centered k-window anchored one-left), summed vertically by
-    direct sublane reads.  Border is REPLICATE via the host-side edge pad.
+    Both separable box passes are MXU band matmuls (see _threshold_kernel
+    for the exactness argument); border is REPLICATE via the host-side
+    edge pad.
     """
     tf = pl.program_id(0)
     i = pl.program_id(1)
@@ -763,7 +901,6 @@ def _adaptive_mean_kernel(
     w = w_img
     r = k // 2
     o_lo = mv + halo          # first output row (buffer coords)
-    h_lo, h_n = o_lo - r, block + 2 * r  # rows whose h-window sums we need
 
     cp = pltpu.make_async_copy(
         in_hbm.at[tf, pl.ds(i * block, in_rows), :],
@@ -775,23 +912,36 @@ def _adaptive_mean_kernel(
     stage[mv + in_rows:, :] = jnp.zeros((mv, cols), jnp.uint8)
     cp.wait()
 
-    def base_read(rs, cs):
-        return stage[rs, cs].astype(jnp.int32)
+    sbf[:, :] = stage[:, :].astype(jnp.int32).astype(jnp.bfloat16)
 
-    # Horizontal k-window sums via after-sums at a -(r+1) offset.
-    _after_sums_h(base_read, w0, w1, acc, k, mx, w, h_lo, h_n, cols)
-    # Vertical k-window box: pow2 after-sum pyramid over the h sums
-    # (box(y) = V(y - r - 1) with V the strictly-below after-sum), into
-    # the dedicated vbuf so acc (the live input) and the w0/w1 ping
-    # buffers stay untouched.
-    hl = mx - r - 1
-    _after_sums_v(_read_of(acc), w0, w1, vbuf, k, hl, w, o_lo - r - 1, block)
+    # Horizontal centered window sums for rows [o_lo - r, o_lo - r + hm);
+    # zero the [hm, hk) tail so the vertical dot's padded K reads stay
+    # finite (vc's columns there are zero, but 0 * NaN would poison f32).
+    fH[0:hm, :] = jnp.dot(sbf[o_lo - r:o_lo - r + hm, :], uc_ref[...],
+                          preferred_element_type=jnp.float32)
+    if hk > hm:
+        fH[hm:, :] = jnp.zeros((hk - hm, cols), jnp.float32)
+    # bf16 cast of the h sums: values <= 35*255 = 8925 exceed bf16's
+    # exact-integer range, so the vertical pass must dot f32 h-sums...
+    # which Mosaic's MXU cannot take as bf16xbf16.  Instead feed the
+    # ORIGINAL columns through the vertical band first?  No: box sums are
+    # separable in either order — do the vertical pass on sbf directly,
+    # then the horizontal band on that result would need the same f32
+    # issue.  Resolution: split the h-sums into high/low bytes, two bf16
+    # dots, recombined after the vertical pass (exact: both planes'
+    # vertical sums are < 2^24).
+    hi = jnp.floor(fH[:, :] * jnp.float32(1.0 / 256.0))
+    lo = fH[:, :] - hi * jnp.float32(256.0)
+    vhi = jnp.dot(vc_ref[...], hi.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    vlo = jnp.dot(vc_ref[...], lo.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    box = vhi * jnp.float32(256.0) + vlo
 
     area = k * k
-    x = base_read(slice(o_lo, o_lo + block), slice(mx, mx + w))
-    s2 = (2 * vbuf[o_lo - r - 1:o_lo - r - 1 + block, hl:hl + w]
-          + jnp.int32(area))
-    hit = s2 < 2 * area * (x + jnp.int32(idelta))
+    x = sbf[o_lo:o_lo + block, mx:mx + w].astype(jnp.float32)
+    s2 = 2.0 * box[:, mx:mx + w] + jnp.float32(area)
+    hit = s2 < jnp.float32(2 * area) * (x + jnp.float32(idelta))
     out_ref[0, :, mx:mx + w] = jnp.where(
         hit, jnp.int32(255), jnp.int32(0)).astype(jnp.uint8)
 
@@ -825,6 +975,9 @@ def adaptive_mean_pallas2(
     cols = _round_up(W + 2 * mx, LANE)
     in_rows = _round_up(block + 2 * halo, 8)
     rows = in_rows + 2 * mv
+    r = k // 2
+    hm = _round_up(block + 2 * r, 8)
+    hk = _round_up(hm, LANE)
 
     # REPLICATE border: edge-pad rows and columns on the host (the bottom
     # pad also covers the grid*block overhang).
@@ -834,25 +987,32 @@ def adaptive_mean_pallas2(
          (mx, cols - mx - W)),
         mode="edge",
     )
+    uc = jnp.asarray(_h_box_band_np(cols, k), jnp.bfloat16)
+    vc = jnp.asarray(_v_box_band_np(block, hk, k), jnp.bfloat16)
 
     kernel = functools.partial(
         _adaptive_mean_kernel,
         k=k, idelta=int(C), block=int(block), halo=int(halo),
         mv=int(mv), mx=int(mx), w_img=int(W), cols=int(cols),
+        hm=int(hm), hk=int(hk),
     )
     out = pl.pallas_call(
         kernel,
         grid=(T, grid),
         out_shape=jax.ShapeDtypeStruct((T, grid * block, cols), jnp.uint8),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((cols, cols), lambda t, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, hk), lambda t, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows, cols), jnp.uint8),   # stage
-            pltpu.VMEM((rows, cols), jnp.int32),   # w0 (pyramid ping)
-            pltpu.VMEM((rows, cols), jnp.int32),   # w1 (pyramid pong)
-            pltpu.VMEM((rows, cols), jnp.int32),   # acc (h window sums)
-            pltpu.VMEM((rows, cols), jnp.int32),   # vbuf (v box sums)
+            pltpu.VMEM((rows, cols), jnp.uint8),     # stage
+            pltpu.VMEM((rows, cols), jnp.bfloat16),  # sbf (dot operand)
+            pltpu.VMEM((hk, cols), jnp.float32),     # fH (h box sums)
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -860,7 +1020,7 @@ def adaptive_mean_pallas2(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(hbuf)
+    )(hbuf, uc, vc)
     out = out[:, :Hh, mx:mx + W]
     return out[0] if squeeze else out
 
@@ -872,11 +1032,14 @@ def neighborhood_stage_v2(
     C_r: int = 5,
     ksize_b: int = 35,
     C_b: int = 5,
+    emit_prefixes: bool = False,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """'neighborhood' filter mode (the hardcoded second attempt,
     lane_tracker.py:1081-1099): adaptive mean thresholds on the RAW
     channels + merge + 5x5 open, all as stage kernels."""
     r_th = adaptive_mean_pallas2(rgb_r, ksize_r, -C_r, interpret=interpret)
     b_th = adaptive_mean_pallas2(lab_b, ksize_b, -C_b, interpret=interpret)
-    return merge_open_pallas2(r_th, b_th, None, interpret=interpret)
+    return merge_open_pallas2(r_th, b_th, None,
+                              emit_prefixes=emit_prefixes,
+                              interpret=interpret)

@@ -384,39 +384,57 @@ def _second_attempt_binary(r_chan, b_chan, params: TrackerParams):
     )
 
 
-def _filter_batch(r_chan, b_chan, fcfg, backend):
-    """Filter a (T, H, W) channel batch.
+def _filter_batch(r_chan, b_chan, fcfg, backend, want_prefixes=False):
+    """Filter a (T, H, W) channel batch; returns (binary, prefixes|None).
 
     The 'pallas2' backend batches natively via a grid dimension (Pallas
     ANY-space inputs cannot vmap); every other backend (and the
-    'neighborhood' filter type, which pallas2 does not implement) is the
-    per-frame XLA chain under vmap.
+    'neighborhood'+mask_noise combination, which pallas2 does not
+    implement) is the per-frame XLA chain under vmap.  With
+    ``want_prefixes`` the pallas2 path also returns the packed row
+    prefixes emitted by in-kernel MXU dots overlapping the merge+open
+    kernel's VPU sweeps (kernels/filter_stage2.merge_open_pallas2);
+    other paths return None and the caller falls back to the XLA matmul.
     """
-    kwargs = dict(
-        filter_type=fcfg.filter_type,
-        ksize_r=fcfg.ksize_r,
-        C_r=fcfg.C_r,
-        ksize_b=fcfg.ksize_b,
-        C_b=fcfg.C_b,
-        mask_noise=fcfg.mask_noise,
-        ksize_noise=fcfg.ksize_noise,
-        C_noise=fcfg.C_noise,
-        noise_thresh=fcfg.noise_thresh,
-    )
     backend = resolve_filter_backend(backend)
-    if backend == "pallas2" and (
-        fcfg.filter_type == "bilateral"
-        or (fcfg.filter_type == "neighborhood" and not fcfg.mask_noise)
-    ):
-        return filter_lane_points_channels(
-            r_chan, b_chan, backend="pallas2", **kwargs
+    if backend == "pallas2" and fcfg.filter_type == "bilateral":
+        from lane_tracker_tpu.kernels.filter_stage2 import filter_stage_v2
+
+        out = filter_stage_v2(
+            r_chan, b_chan,
+            ksize_r=fcfg.ksize_r, C_r=fcfg.C_r,
+            ksize_b=fcfg.ksize_b, C_b=fcfg.C_b,
+            mask_noise=fcfg.mask_noise, ksize_noise=fcfg.ksize_noise,
+            C_noise=fcfg.C_noise, noise_thresh=fcfg.noise_thresh,
+            emit_prefixes=want_prefixes,
         )
+        return out if want_prefixes else (out, None)
+    if (backend == "pallas2" and fcfg.filter_type == "neighborhood"
+            and not fcfg.mask_noise):
+        from lane_tracker_tpu.kernels.filter_stage2 import (
+            neighborhood_stage_v2,
+        )
+
+        out = neighborhood_stage_v2(
+            r_chan, b_chan,
+            ksize_r=fcfg.ksize_r, C_r=fcfg.C_r,
+            ksize_b=fcfg.ksize_b, C_b=fcfg.C_b,
+            emit_prefixes=want_prefixes,
+        )
+        return out if want_prefixes else (out, None)
     xla_backend = "xla" if backend == "pallas2" else backend
-    return jax.vmap(
+    binary = jax.vmap(
         lambda r, b: filter_lane_points_channels(
-            r, b, backend=xla_backend, **kwargs
+            r, b,
+            filter_type=fcfg.filter_type,
+            ksize_r=fcfg.ksize_r, C_r=fcfg.C_r,
+            ksize_b=fcfg.ksize_b, C_b=fcfg.C_b,
+            mask_noise=fcfg.mask_noise, ksize_noise=fcfg.ksize_noise,
+            C_noise=fcfg.C_noise, noise_thresh=fcfg.noise_thresh,
+            backend=xla_backend,
         )
     )(r_chan, b_chan)
+    return binary, None
 
 
 def second_attempt_artifacts_batch(r_chan, b_chan, params: TrackerParams):
@@ -424,9 +442,11 @@ def second_attempt_artifacts_batch(r_chan, b_chan, params: TrackerParams):
     'neighborhood' filter (lane_tracker.py:1081-1099) + prefixes + blind
     intervals for a (T, H, W) channel batch."""
     W, H = params.warped_size
-    binary2 = _filter_batch(r_chan, b_chan, SECOND_ATTEMPT.filter,
-                            params.filter_backend)
-    pref2 = jax.vmap(build_row_prefixes)(binary2)
+    binary2, pref2 = _filter_batch(r_chan, b_chan, SECOND_ATTEMPT.filter,
+                                   params.filter_backend,
+                                   want_prefixes=True)
+    if pref2 is None:
+        pref2 = jax.vmap(build_row_prefixes)(binary2)
     iv2 = jax.vmap(lambda b: sliding_window_intervals(
         sws_precompute(b, SECOND_ATTEMPT.search),
         SECOND_ATTEMPT.search, H, W))(binary2)
@@ -446,10 +466,11 @@ def front_artifacts_batch(
     bit-identical to the per-frame path for every backend.
     """
     r_chan, b_chan = jax.vmap(lambda f: _warp_channels(f, params))(frames)
-    binary1 = _filter_batch(r_chan, b_chan, config.filter,
-                            params.filter_backend)
+    binary1, pref = _filter_batch(r_chan, b_chan, config.filter,
+                                  params.filter_backend, want_prefixes=True)
     W, H = params.warped_size
-    pref = jax.vmap(build_row_prefixes)(binary1)
+    if pref is None:
+        pref = jax.vmap(build_row_prefixes)(binary1)
     iv_sws = jax.vmap(lambda b: sliding_window_intervals(
         sws_precompute(b, config.search), config.search, H, W))(binary1)
     pref2 = iv2 = None

@@ -172,3 +172,31 @@ def test_adaptive_mean_kernel_bit_exact(channels):
     got = np.asarray(neighborhood_stage_v2(
         r, b, ksize_r=15, C_r=5, ksize_b=35, C_b=5, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_merge_open_emitted_prefixes_bit_exact(channels):
+    """emit_prefixes: the packed row prefixes computed by the in-kernel
+    MXU dots must equal ops.integrals.build_row_prefixes of the binary."""
+    from lane_tracker_tpu.kernels.filter_stage2 import (
+        filter_stage_v2,
+        merge_open_pallas2,
+    )
+    from lane_tracker_tpu.ops.integrals import build_row_prefixes
+    from lane_tracker_tpu.ops.threshold import bilateral_adaptive_threshold
+
+    r, b = channels
+    r_th = np.asarray(bilateral_adaptive_threshold(r, ksize=25, C=8))
+    b_th = np.asarray(bilateral_adaptive_threshold(b, ksize=35, C=5))
+    binary, pref = merge_open_pallas2(r_th, b_th, emit_prefixes=True,
+                                      interpret=True)
+    want = np.asarray(build_row_prefixes(binary).packed)
+    np.testing.assert_array_equal(np.asarray(pref.packed), want)
+
+    # And through the full stage entry point on a (T, H, W) batch.
+    batch_r = np.stack([r, r])
+    batch_b = np.stack([b, b])
+    bin2, pref2 = filter_stage_v2(batch_r, batch_b, mask_noise=True,
+                                  emit_prefixes=True, interpret=True)
+    want2 = np.asarray(build_row_prefixes(bin2[0]).packed)
+    np.testing.assert_array_equal(np.asarray(pref2.packed[0]), want2)
+    np.testing.assert_array_equal(np.asarray(pref2.packed[1]), want2)
