@@ -115,7 +115,7 @@ def main():
             grid=(T_, grid),
             out_shape=jax.ShapeDtypeStruct((T_, grid * block, cols),
                                            jnp.uint8),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[

@@ -65,7 +65,7 @@ def main():
             grid=(T,),
             out_shape=jax.ShapeDtypeStruct((T, 1, 1), jnp.float32),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((KP, NP), lambda t: (0, 0),
                              memory_space=pltpu.VMEM),
             ],

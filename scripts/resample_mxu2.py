@@ -303,9 +303,9 @@ def _pass2_call(t1r, t1b, wpack, tile_base, geom, interpret=False):
         num_scalar_prefetch=1,
         grid=(Ho, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         # Output laid out (2, Ho, T, Wo_pad) so the block's LAST TWO dims
         # are (T, LANE) — Mosaic requires those divisible by (8, 128) or

@@ -200,3 +200,65 @@ def test_merge_open_emitted_prefixes_bit_exact(channels):
     want2 = np.asarray(build_row_prefixes(bin2[0]).packed)
     np.testing.assert_array_equal(np.asarray(pref2.packed[0]), want2)
     np.testing.assert_array_equal(np.asarray(pref2.packed[1]), want2)
+
+
+def test_fused_channel_kernel_bit_exact(channels):
+    """channel_stage_pallas2 (tophat + threshold [+ noise keep] in one
+    kernel) must equal the unfused XLA chain exactly."""
+    from lane_tracker_tpu.kernels.filter_stage2 import channel_stage_pallas2
+    from lane_tracker_tpu.ops.morphology import tophat_ellipse
+    from lane_tracker_tpu.ops.threshold import bilateral_adaptive_threshold
+
+    r, b = channels
+    want_r = np.asarray(bilateral_adaptive_threshold(
+        tophat_ellipse(r, 29), ksize=25, C=8))
+    got_r = np.asarray(channel_stage_pallas2(r, 29, 25, 8, interpret=True))
+    np.testing.assert_array_equal(got_r, want_r)
+
+    want_b = np.asarray(bilateral_adaptive_threshold(
+        tophat_ellipse(b, 55), ksize=35, C=5))
+    noise2 = np.asarray(bilateral_adaptive_threshold(b, ksize=65, C=10))
+    want_keep = np.where(
+        (b < 135) | (noise2 > 0), 255, 0).astype(np.uint8)
+    got_b, got_keep = channel_stage_pallas2(
+        b, 55, 35, 5, noise=(65, 10, 135), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_b), want_b)
+    np.testing.assert_array_equal(np.asarray(got_keep), want_keep)
+
+    # Batched (T, H, W) form.
+    got2 = np.asarray(channel_stage_pallas2(
+        np.stack([r, r]), 29, 25, 8, interpret=True))
+    np.testing.assert_array_equal(got2[0], want_r)
+    np.testing.assert_array_equal(got2[1], want_r)
+
+
+def test_fused_channel_pyr_kernel_bit_exact(channels):
+    """channel_stage_pyr_pallas2 (pyramid-sum fused variant, full-height
+    default block) must equal the unfused XLA chain exactly — at the
+    bench's demo1 parameters (R: kt=29 kb=15, B: kt=55 kb=35)."""
+    from lane_tracker_tpu.kernels.filter_stage2 import (
+        channel_stage_pyr_pallas2,
+    )
+    from lane_tracker_tpu.ops.morphology import tophat_ellipse
+    from lane_tracker_tpu.ops.threshold import bilateral_adaptive_threshold
+
+    r, b = channels
+    want_r = np.asarray(bilateral_adaptive_threshold(
+        tophat_ellipse(r, 29), ksize=15, C=8))
+    got_r = np.asarray(channel_stage_pyr_pallas2(
+        r, 29, 15, 8, interpret=True))
+    np.testing.assert_array_equal(got_r, want_r)
+
+    want_b = np.asarray(bilateral_adaptive_threshold(
+        tophat_ellipse(b, 55), ksize=35, C=5))
+    got_b = np.asarray(channel_stage_pyr_pallas2(
+        b, 55, 35, 5, interpret=True))
+    np.testing.assert_array_equal(got_b, want_b)
+
+    # Multi-block form (grid > 1) and batched (T, H, W) form.
+    H = r.shape[0]
+    blk = ((-(-H // 2)) + 7) // 8 * 8
+    got_r2 = np.asarray(channel_stage_pyr_pallas2(
+        np.stack([r, r]), 29, 15, 8, block=blk, interpret=True))
+    np.testing.assert_array_equal(got_r2[0], want_r)
+    np.testing.assert_array_equal(got_r2[1], want_r)
