@@ -610,6 +610,251 @@ def bilateral_threshold_pallas2(
 
 
 # ---------------------------------------------------------------------------
+# Tophat with rider thresholds: independent-input MXU dots hidden under
+# the VPU-bound morphology sweeps
+# ---------------------------------------------------------------------------
+
+
+def _tophat_riders_kernel(*refs, ksize, block, halo, mv, mx, h_img, w_img,
+                          cols, dtype, riders):
+    """Tophat(ksize) of the primary input + one bilateral cross threshold
+    per rider, in one kernel.
+
+    Unlike the fused channel kernels (which recompute the tophat over the
+    threshold's read reach and lose to halo redundancy — probe7), each
+    rider reads an INDEPENDENT already-materialized input, so there is no
+    recomputation: the rider's band-matmul window sums are issued before
+    the tophat's VPU sweeps and the MXU works through them underneath
+    (probe6: sweeps 0.052 + dots 0.025 -> 0.054 ms combined), leaving
+    only the riders' staging casts and compares as added VPU work.
+    """
+    nr = len(riders)
+    pos = 0
+    in_hbm = refs[pos]
+    pos += 1
+    rider_ins = [refs[pos + 3 * j:pos + 3 * j + 3] for j in range(nr)]
+    pos += 3 * nr
+    out_t = refs[pos]
+    pos += 1
+    rider_outs = list(refs[pos:pos + nr])
+    pos += nr
+    stage, w0, w1, acc, dacc = refs[pos:pos + 5]
+    pos += 5
+    rider_scr = [refs[pos + 4 * j:pos + 4 * j + 4] for j in range(nr)]
+    pos += 4 * nr
+    sems = refs[pos]
+
+    t = pl.program_id(0)
+    i = pl.program_id(1)
+
+    # ---- DMAs: primary (255 margins) + riders (zero margins) ----
+    in_rows = stage.shape[0] - 2 * mv
+    cps = []
+    cp = pltpu.make_async_copy(
+        in_hbm.at[t, pl.ds(i * block, in_rows), :],
+        stage.at[mv:mv + in_rows, :], sems.at[0])
+    cp.start()
+    cps.append(cp)
+    stage[0:mv, :] = jnp.full((mv, cols), 255, jnp.uint8)
+    stage[mv + in_rows:, :] = jnp.full((mv, cols), 255, jnp.uint8)
+    for j in range(nr):
+        m = riders[j]
+        r_stage = rider_scr[j][0]
+        rin = r_stage.shape[0] - 2 * m["mv"]
+        cp = pltpu.make_async_copy(
+            rider_ins[j][0].at[t, pl.ds(i * block, rin), :],
+            r_stage.at[m["mv"]:m["mv"] + rin, :], sems.at[j + 1])
+        cp.start()
+        cps.append(cp)
+        r_stage[0:m["mv"], :] = jnp.zeros((m["mv"], m["cols"]), jnp.uint8)
+        r_stage[m["mv"] + rin:, :] = jnp.zeros((m["mv"], m["cols"]),
+                                               jnp.uint8)
+    for cp in cps:
+        cp.wait()
+
+    # ---- rider staging casts + MXU band dots (issued FIRST so they
+    # overlap the tophat sweeps below; see _threshold_kernel for the
+    # window-sum semantics and the bf16/f32 exactness argument) ----
+    for j in range(nr):
+        m = riders[j]
+        _, uh_ref, vb_ref = rider_ins[j]
+        r_stage, sbf, fH, fV = rider_scr[j]
+        sbf[:, :] = r_stage[:, :].astype(jnp.int32).astype(jnp.bfloat16)
+        o_lo = m["mv"] + m["halo"]
+        a_lo = o_lo - m["k"] - 1
+        fH[:, :] = jnp.dot(sbf[o_lo:o_lo + block, :], uh_ref[...],
+                           preferred_element_type=jnp.float32)
+        fV[:, :] = jnp.dot(vb_ref[...], sbf[a_lo:a_lo + m["vk"], :],
+                           preferred_element_type=jnp.float32)
+
+    # ---- tophat of the primary input (identical to _tophat_kernel) ----
+    w = w_img
+
+    def base_read(rs, cs):
+        return stage[rs, cs].astype(jnp.int32).astype(dtype)
+
+    r = ksize // 2
+    e_lo, e_n = mv + r, block + 2 * r
+    _morph(base_read, w0, w1, acc, ksize, jnp.minimum, 255,
+           mx, w, e_lo, e_n, mv, in_rows)
+    shape = (e_n, stage.shape[1])
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    grow = rows_i + e_lo - mv + i * block - halo
+    in_img = (
+        (grow >= 0) & (grow < h_img) & (cols_i >= mx) & (cols_i < mx + w_img)
+    )
+    acc[e_lo:e_lo + e_n, :] = jnp.where(
+        in_img, acc[e_lo:e_lo + e_n, :], jnp.asarray(0, dtype))
+    _morph(_read_of(acc), w0, w1, dacc, ksize, jnp.maximum, 0,
+           mx, w, mv + 2 * r, block, e_lo, e_n)
+    s = mv + halo
+    diff = (
+        stage[s:s + block, mx:mx + w].astype(jnp.int32).astype(dtype)
+        - dacc[s:s + block, mx:mx + w]
+    )
+    out_t[0, :, mx:mx + w] = diff.astype(jnp.int32).astype(jnp.uint8)
+
+    # ---- rider compares (the dots have long since drained) ----
+    for j in range(nr):
+        m = riders[j]
+        _, sbf, fH, fV = rider_scr[j]
+        k, mxj = m["k"], m["mx"]
+        o_lo = m["mv"] + m["halo"]
+        x = sbf[o_lo:o_lo + block, mxj:mxj + w_img].astype(jnp.float32)
+        tt = jnp.float32(k) * x - jnp.float32(m["C"] * k)
+        hit = (
+            ((fH[:, mxj - k - 1:mxj - k - 1 + w_img] < tt)
+             & (fH[:, mxj:mxj + w_img] < tt))
+            | ((fV[0:block, mxj:mxj + w_img] < tt)
+               & (fV[k + 1:k + 1 + block, mxj:mxj + w_img] < tt))
+        )
+        if m["noise_thresh"] >= 0:
+            hit = (x < jnp.float32(m["noise_thresh"])) | hit
+        rider_outs[j][0, :, mxj:mxj + w_img] = jnp.where(
+            hit, jnp.int32(255), jnp.int32(0)).astype(jnp.uint8)
+
+
+def tophat_riders_pallas2(img, ksize, riders, *, block: int | None = None,
+                          interpret: bool = False):
+    """White tophat(ksize) of ``img`` plus one bilateral cross threshold
+    per rider, fused so the riders' MXU work hides under the tophat's
+    VPU sweeps.
+
+    ``riders`` is a sequence of ``(src, k, C, noise_thresh)``: each
+    computes ``bilateral_threshold_pallas2(src, k, C, noise_thresh=...)``
+    on an independent, already-materialized image of the same shape
+    (noise_thresh=-1 for the plain threshold).  Returns
+    ``(tophat(img), thr(src_0), ..., thr(src_{n-1}))`` — each bit-exact
+    with the corresponding standalone kernel.  Accepts (H, W) or
+    (T, H, W).
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+        riders = [(s[None], k, C, nt) for (s, k, C, nt) in riders]
+    T, H, W = img.shape
+    ksize = int(ksize)
+    halo = 2 * (ksize // 2)
+    if block is None:
+        den = 2 if ksize >= 40 else 3
+        block = _round_up(-(-H // den), 8)
+    grid = -(-H // block)
+    mv = _round_up(ksize // 2 + 1, 8)
+    mx = 64
+    cols = _round_up(W + 2 * mx, LANE)
+    in_rows = _round_up(block + 2 * halo, 8)
+    rows = in_rows + 2 * mv
+
+    hbuf = jnp.full((T, grid * block + (in_rows - block), cols), 255,
+                    jnp.uint8)
+    hbuf = jax.lax.dynamic_update_slice(hbuf, img, (0, halo, mx))
+
+    dtype = jnp.bfloat16
+    ins = [hbuf]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    scratch = [
+        pltpu.VMEM((rows, cols), jnp.uint8),   # stage
+        pltpu.VMEM((rows, cols), dtype),       # w0
+        pltpu.VMEM((rows, cols), dtype),       # w1
+        pltpu.VMEM((rows, cols), dtype),       # acc
+        pltpu.VMEM((rows, cols), dtype),       # dacc
+    ]
+    rider_scratch = []
+    riders_meta = []
+    out_shape = [jax.ShapeDtypeStruct((T, grid * block, cols), jnp.uint8)]
+    out_specs = [pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
+                              memory_space=pltpu.VMEM)]
+    for (src, k, C, nthr) in riders:
+        k = int(k)
+        halo_j = k
+        mx_j = _round_up(k + 1, 64)
+        cols_j = _round_up(W + 2 * mx_j, LANE)
+        vm_j = _round_up(block + k + 1, 8)
+        vk_j = _round_up(vm_j + k, LANE)
+        mv_j = _round_up(max(k + 1, vk_j - block - 2 * k - 1), 8)
+        in_rows_j = _round_up(block + 2 * halo_j, 8)
+        rows_j = in_rows_j + 2 * mv_j
+        hb = jnp.zeros((T, grid * block + (in_rows_j - block), cols_j),
+                       jnp.uint8)
+        hb = jax.lax.dynamic_update_slice(hb, src, (0, halo_j, mx_j))
+        uh = jnp.asarray(_h_after_band_np(cols_j, k), jnp.bfloat16)
+        vb = jnp.asarray(_v_after_band_np(vm_j, vk_j, k), jnp.bfloat16)
+        ins += [hb, uh, vb]
+        cj, vmj, vkj = int(cols_j), int(vm_j), int(vk_j)
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((cj, cj), lambda t, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vmj, vkj), lambda t, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        riders_meta.append(dict(
+            k=k, C=int(C), noise_thresh=int(nthr), halo=int(halo_j),
+            mx=int(mx_j), cols=cj, vm=vmj, vk=vkj, mv=int(mv_j),
+        ))
+        rider_scratch += [
+            pltpu.VMEM((rows_j, cols_j), jnp.uint8),     # r_stage
+            pltpu.VMEM((rows_j, cols_j), jnp.bfloat16),  # sbf
+            pltpu.VMEM((block, cols_j), jnp.float32),    # fH
+            pltpu.VMEM((vm_j, cols_j), jnp.float32),     # fV
+        ]
+        out_shape.append(
+            jax.ShapeDtypeStruct((T, grid * block, cols_j), jnp.uint8))
+        out_specs.append(
+            pl.BlockSpec((1, block, cj), lambda t, i: (t, i, 0),
+                         memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _tophat_riders_kernel,
+        ksize=ksize, block=int(block), halo=int(halo), mv=int(mv),
+        mx=int(mx), h_img=int(H), w_img=int(W), cols=int(cols),
+        dtype=dtype, riders=tuple(riders_meta),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(T, grid),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch + rider_scratch + [
+            pltpu.SemaphoreType.DMA((1 + len(riders_meta),)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*ins)
+    res = [outs[0][:, :H, mx:mx + W]]
+    for m, o in zip(riders_meta, outs[1:]):
+        res.append(o[:, :H, m["mx"]:m["mx"] + W])
+    if squeeze:
+        res = [o[0] for o in res]
+    return tuple(res)
+
+
+# ---------------------------------------------------------------------------
 # Fused channel kernels: tophat + threshold(s) in one VMEM residency
 # ---------------------------------------------------------------------------
 
@@ -1104,16 +1349,24 @@ def filter_stage_v2(
     so the unfused stage kernels remain the production path.
     """
     r_feat = tophat_pallas2(rgb_r, 29, interpret=interpret)
-    b_feat = tophat_pallas2(lab_b, 55, interpret=interpret)
-    r_th = bilateral_threshold_pallas2(
-        r_feat, ksize_r, C_r, interpret=interpret)
+    # The R threshold (and the noise keep-mask) ride inside the
+    # VPU-bound tophat55 kernel: their inputs are already materialized,
+    # so their MXU band dots hide under the morphology sweeps (probe9:
+    # 0.3227 ms fused vs 0.372 unfused at T=128, bit-exact on hardware).
+    riders = [(r_feat, ksize_r, C_r, -1)]
+    if mask_noise:
+        riders.append((lab_b, ksize_noise, C_noise, noise_thresh))
+    outs = tophat_riders_pallas2(lab_b, 55, riders, interpret=interpret)
+    b_feat, r_th = outs[0], outs[1]
+    keep = outs[2] if mask_noise else None
+    if ksize_b + 1 <= 64:
+        # The B threshold fuses into the merge+open kernel (its band
+        # dots overlap the r&keep pre-merge; no th_b HBM round trip).
+        return thr_merge_open_pallas2(r_th, b_feat, ksize_b, C_b, keep,
+                                      emit_prefixes=emit_prefixes,
+                                      interpret=interpret)
     b_th = bilateral_threshold_pallas2(
         b_feat, ksize_b, C_b, interpret=interpret)
-    keep = None
-    if mask_noise:
-        keep = bilateral_threshold_pallas2(
-            lab_b, ksize_noise, C_noise, noise_thresh=noise_thresh,
-            interpret=interpret)
     return merge_open_pallas2(r_th, b_th, keep,
                               emit_prefixes=emit_prefixes,
                               interpret=interpret)
@@ -1325,6 +1578,266 @@ def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
         compiler_params=params,
         interpret=interpret,
     )(*ins, tri)
+    out = out[:, :H, mx:mx + W]
+    prefixes = RowPrefixes(packed=pref[:, :H, :W + 1])
+    if squeeze:
+        return out[0], RowPrefixes(packed=prefixes.packed[0])
+    return out, prefixes
+
+
+def _thr_merge_open_kernel(
+    r_hbm, b_hbm, k_hbm, uh_ref, vb_ref, out_ref, sr, sk, bst, sbf, fH, fV,
+    w0, w1, acc, dacc, sem3,
+    *, block, halo, mv, mx, h_img, w_img, cols, has_keep, dtype,
+    kb, Cb, n_out, mv_j, vk_j,
+    tri_ref=None, pref_ref=None, kp=0, shift=0,
+):
+    """Merge+open with the B threshold computed IN-kernel from the tophat
+    image: thr(kb, Cb) of b_hbm -> merged with r/keep -> 5x5 open
+    [-> packed prefixes].
+
+    The threshold's band dots are issued first and the r&keep pre-merge
+    sweeps run underneath them (min distributes over max on the {0,255}
+    lattice: (r|b)&k == (r&k)|(b&k)), so the serial cost of the fused
+    threshold is just its compare.  Saves the standalone thr kernel's
+    DMA + staging + launch and the th_b HBM round trip.
+    """
+    tf = pl.program_id(0)
+    i = pl.program_id(1)
+    in_rows = sr.shape[0] - 2 * mv
+    w = w_img
+
+    # ---- DMAs: r/keep at merge geometry, b tophat at thr geometry ----
+    cps = []
+    cp = pltpu.make_async_copy(
+        r_hbm.at[tf, pl.ds(i * block, in_rows), :],
+        sr.at[mv:mv + in_rows, :], sem3.at[0])
+    cp.start()
+    cps.append(cp)
+    in_rows_j = bst.shape[0] - 2 * mv_j
+    cp = pltpu.make_async_copy(
+        b_hbm.at[tf, pl.ds(i * block, in_rows_j), :],
+        bst.at[mv_j:mv_j + in_rows_j, :], sem3.at[1])
+    cp.start()
+    cps.append(cp)
+    if has_keep:
+        cp = pltpu.make_async_copy(
+            k_hbm.at[tf, pl.ds(i * block, in_rows), :],
+            sk.at[mv:mv + in_rows, :], sem3.at[2])
+        cp.start()
+        cps.append(cp)
+    bst[0:mv_j, :] = jnp.zeros((mv_j, cols), jnp.uint8)
+    bst[mv_j + in_rows_j:, :] = jnp.zeros((mv_j, cols), jnp.uint8)
+    for cp in cps:
+        cp.wait()
+
+    # ---- B threshold staging + MXU band dots (issued first) ----
+    sbf[:, :] = bst[:, :].astype(jnp.int32).astype(jnp.bfloat16)
+    o_lo_j = mv_j + kb  # first output row (= global i*block - halo)
+    a_lo_j = mv_j - 1
+    fH[:, :] = jnp.dot(sbf[o_lo_j:o_lo_j + n_out, :], uh_ref[...],
+                       preferred_element_type=jnp.float32)
+    fV[:, :] = jnp.dot(vb_ref[...], sbf[a_lo_j:a_lo_j + vk_j, :],
+                       preferred_element_type=jnp.float32)
+
+    # ---- r & keep pre-merge (VPU, overlaps the dots) ----
+    rows = slice(mv, mv + in_rows)
+    rk = sr[rows, :].astype(jnp.int32).astype(dtype)
+    if has_keep:
+        rk = jnp.minimum(rk, sk[rows, :].astype(jnp.int32).astype(dtype))
+    dacc[rows, :] = rk
+
+    # ---- B compare + final merge over the image columns ----
+    x = sbf[o_lo_j:o_lo_j + n_out, mx:mx + w].astype(jnp.float32)
+    tt = jnp.float32(kb) * x - jnp.float32(Cb * kb)
+    hit = (
+        ((fH[:, mx - kb - 1:mx - kb - 1 + w] < tt) & (fH[:, mx:mx + w] < tt))
+        | ((fV[0:n_out, mx:mx + w] < tt)
+           & (fV[kb + 1:kb + 1 + n_out, mx:mx + w] < tt))
+    )
+    # Select in i32 (mask layout (8,128)) and cast after: a bf16 select
+    # target forces an i1 relayout to (16,128) that Mosaic rejects
+    # ("Invalid relayout ... replicated in destination but not source").
+    bv = jnp.where(hit, jnp.int32(255), jnp.int32(0)).astype(dtype)
+    if has_keep:
+        bv = jnp.minimum(
+            bv, sk[mv:mv + n_out, mx:mx + w].astype(jnp.int32).astype(dtype))
+    dacc[mv:mv + n_out, mx:mx + w] = jnp.maximum(
+        dacc[mv:mv + n_out, mx:mx + w], bv)
+
+    # ---- 5x5 elliptical open of the merged binary (as merge_open) ----
+    r = 2
+    e_lo, e_n = mv + r, block + 2 * r
+    _morph(_read_of(dacc), w0, w1, acc, 5, jnp.minimum, 255,
+           mx, w, e_lo, e_n, mv, in_rows)
+    shape = (e_n, sr.shape[1])
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    grow = rows_i + e_lo - mv + i * block - halo
+    in_img = (
+        (grow >= 0) & (grow < h_img) & (cols_i >= mx) & (cols_i < mx + w_img)
+    )
+    acc[e_lo:e_lo + e_n, :] = jnp.where(
+        in_img, acc[e_lo:e_lo + e_n, :], jnp.asarray(0, dtype))
+    _morph(_read_of(acc), w0, w1, dacc, 5, jnp.maximum, 0,
+           mx, w, mv + 2 * r, block, e_lo, e_n)
+    s = mv + 2 * r
+    out_ref[0, :, mx:mx + w] = (
+        dacc[s:s + block, mx:mx + w].astype(jnp.int32).astype(jnp.uint8))
+
+    if pref_ref is not None:
+        binb = jnp.minimum(dacc[s:s + block, mx:mx + kp],
+                           jnp.asarray(1, dtype))
+        xs = jax.lax.broadcasted_iota(jnp.int32, (block, kp), 1)
+        hi = (xs >> 8).astype(dtype)
+        lo = (xs & 0xFF).astype(dtype)
+        tri = tri_ref[...]
+        p0 = jnp.dot(binb, tri, preferred_element_type=jnp.float32)
+        ph = jnp.dot(binb * hi, tri, preferred_element_type=jnp.float32)
+        plo = jnp.dot(binb * lo, tri, preferred_element_type=jnp.float32)
+        packed = (
+            ((ph.astype(jnp.int32) << 8) + plo.astype(jnp.int32)) << shift
+        ) | p0.astype(jnp.int32)
+        pref_ref[0, :, :] = packed
+
+
+def _thr_merge_open_pref_kernel(r_hbm, b_hbm, k_hbm, uh_ref, vb_ref, tri_ref,
+                                out_ref, pref_ref, *scratch, **kw):
+    _thr_merge_open_kernel(
+        r_hbm, b_hbm, k_hbm, uh_ref, vb_ref, out_ref, *scratch,
+        tri_ref=tri_ref, pref_ref=pref_ref, **kw)
+
+
+def thr_merge_open_pallas2(r_th, b_feat, kb, Cb, keep=None, *,
+                           block: int | None = None,
+                           emit_prefixes: bool = False,
+                           interpret: bool = False):
+    """merge_open_pallas2 with the B threshold fused in: takes the B
+    TOPHAT image and computes ``bilateral_threshold_pallas2(b_feat, kb,
+    Cb)`` in-kernel before the merge — bit-exact with the unfused pair,
+    one fewer kernel and no th_b HBM round trip.  Requires kb + 1 <= 64
+    (the merge's column margin); callers fall back to the unfused chain
+    otherwise.
+    """
+    from lane_tracker_tpu.ops.integrals import RowPrefixes, _count_shift
+
+    kb = int(kb)
+    assert kb + 1 <= 64, kb
+    squeeze = r_th.ndim == 2
+    if squeeze:
+        r_th = r_th[None]
+        b_feat = b_feat[None]
+        keep = keep[None] if keep is not None else None
+    T, H, W = r_th.shape
+    halo = 4
+    if block is None:
+        block = _round_up(-(-H // 3), 8)
+    grid = -(-H // block)
+    mv = 16
+    mx = 64
+    cols = _round_up(W + 2 * mx, LANE)
+    in_rows = _round_up(block + 2 * halo, 8)
+    has_keep = keep is not None
+    kp = _round_up(W + 1, LANE)
+    if emit_prefixes and mx + kp > cols:
+        cols = _round_up(mx + kp, LANE)
+    rows = in_rows + 2 * mv
+
+    # Threshold sub-geometry: output extended by ext=halo rows each side
+    # so the merged binary covers the open's full read reach (out-of-image
+    # threshold rows evaluate to 0 on the zero-padded tophat, exactly the
+    # pad(b_th, 0) of the unfused kernel).
+    n_out = in_rows  # == block + 2*halo (block is 8-aligned)
+    halo_j = kb + halo
+    in_rows_j = _round_up(n_out + 2 * kb, 8)
+    vm_j = _round_up(n_out + kb + 1, 8)
+    vk_j = _round_up(vm_j + kb, LANE)
+    mv_j = _round_up(max(kb + 1, vk_j - n_out - 2 * kb - 1), 8)
+    rows_j = in_rows_j + 2 * mv_j
+
+    def pad(x, fill):
+        buf = jnp.full((T, grid * block + (in_rows - block), cols), fill,
+                       jnp.uint8)
+        return jax.lax.dynamic_update_slice(buf, x, (0, halo, mx))
+
+    bbuf = jnp.zeros((T, grid * block + (in_rows_j - block), cols),
+                     jnp.uint8)
+    bbuf = jax.lax.dynamic_update_slice(bbuf, b_feat, (0, halo_j, mx))
+    ins = [pad(r_th, 255), bbuf,
+           pad(keep, 255) if has_keep else pad(r_th, 0)]
+    uh = jnp.asarray(_h_after_band_np(cols, kb), jnp.bfloat16)
+    vb = jnp.asarray(_v_after_band_np(vm_j, vk_j, kb), jnp.bfloat16)
+
+    dtype = jnp.bfloat16
+    static = dict(
+        block=int(block), halo=int(halo), mv=int(mv), mx=int(mx),
+        h_img=int(H), w_img=int(W), cols=int(cols), has_keep=has_keep,
+        dtype=dtype, kb=kb, Cb=int(Cb), n_out=int(n_out), mv_j=int(mv_j),
+        vk_j=int(vk_j),
+    )
+    scratch = [
+        pltpu.VMEM((rows, cols), jnp.uint8),     # sr
+        pltpu.VMEM((rows, cols), jnp.uint8),     # sk
+        pltpu.VMEM((rows_j, cols), jnp.uint8),   # bst (tophat staging)
+        pltpu.VMEM((rows_j, cols), jnp.bfloat16),  # sbf
+        pltpu.VMEM((n_out, cols), jnp.float32),  # fH
+        pltpu.VMEM((vm_j, cols), jnp.float32),   # fV
+        pltpu.VMEM((rows, cols), dtype),         # w0
+        pltpu.VMEM((rows, cols), dtype),         # w1
+        pltpu.VMEM((rows, cols), dtype),         # acc
+        pltpu.VMEM((rows, cols), dtype),         # dacc
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=110 * 1024 * 1024,
+        dimension_semantics=("arbitrary", "arbitrary"),
+    )
+    band_specs = [
+        pl.BlockSpec((cols, cols), lambda t, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((vm_j, vk_j), lambda t, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if not emit_prefixes:
+        out = pl.pallas_call(
+            functools.partial(_thr_merge_open_kernel, **static),
+            grid=(T, grid),
+            out_shape=jax.ShapeDtypeStruct((T, grid * block, cols),
+                                           jnp.uint8),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 + band_specs,
+            out_specs=pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interpret,
+        )(*ins, uh, vb)
+        out = out[:, :H, mx:mx + W]
+        return out[0] if squeeze else out
+
+    shift = _count_shift(W)
+    tri = jnp.asarray(_tri_pad_np(W, kp), jnp.bfloat16)
+    out, pref = pl.pallas_call(
+        functools.partial(_thr_merge_open_pref_kernel, **static,
+                          kp=int(kp), shift=int(shift)),
+        grid=(T, grid),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, grid * block, cols), jnp.uint8),
+            jax.ShapeDtypeStruct((T, grid * block, kp), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 + band_specs + [
+            pl.BlockSpec((kp, kp), lambda t, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, kp), lambda t, i: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=scratch,
+        compiler_params=params,
+        interpret=interpret,
+    )(*ins, uh, vb, tri)
     out = out[:, :H, mx:mx + W]
     prefixes = RowPrefixes(packed=pref[:, :H, :W + 1])
     if squeeze:
