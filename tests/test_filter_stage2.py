@@ -262,3 +262,67 @@ def test_fused_channel_pyr_kernel_bit_exact(channels):
         np.stack([r, r]), 29, 15, 8, block=blk, interpret=True))
     np.testing.assert_array_equal(got_r2[0], want_r)
     np.testing.assert_array_equal(got_r2[1], want_r)
+
+
+def test_tophat_riders_bit_exact(channels):
+    """tophat_riders_pallas2 must equal the standalone kernels: the
+    tophat of its primary input plus one bilateral threshold per rider
+    (each reading an independent already-materialized image)."""
+    from lane_tracker_tpu.kernels.filter_stage2 import tophat_riders_pallas2
+
+    r, b = channels
+    r_feat = np.asarray(tophat_pallas2(r, 29, interpret=True))
+    want_th = np.asarray(tophat_pallas2(b, 55, interpret=True))
+    want_r25 = np.asarray(
+        bilateral_threshold_pallas2(r_feat, 25, 8, interpret=True))
+    want_keep = np.asarray(bilateral_threshold_pallas2(
+        b, 65, 10, noise_thresh=135, interpret=True))
+    got = tophat_riders_pallas2(
+        b, 55, [(r_feat, 25, 8, -1), (b, 65, 10, 135)], interpret=True)
+    np.testing.assert_array_equal(np.asarray(got[0]), want_th)
+    np.testing.assert_array_equal(np.asarray(got[1]), want_r25)
+    np.testing.assert_array_equal(np.asarray(got[2]), want_keep)
+
+    # Batched (T, H, W) form with a single rider.
+    batch = np.stack([b, b[::-1]])
+    rb = np.stack([r_feat, r_feat])
+    got2 = tophat_riders_pallas2(batch, 55, [(rb, 25, 8, -1)],
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2[0])[0], want_th)
+    np.testing.assert_array_equal(np.asarray(got2[1])[0], want_r25)
+
+
+def test_thr_merge_open_bit_exact(channels):
+    """thr_merge_open_pallas2 == bilateral_threshold + merge_open, with
+    and without keep mask / emitted prefixes."""
+    from lane_tracker_tpu.kernels.filter_stage2 import (
+        merge_open_pallas2,
+        thr_merge_open_pallas2,
+    )
+
+    r, b = channels
+    r_th = np.asarray(bilateral_threshold_pallas2(
+        np.asarray(tophat_pallas2(r, 29, interpret=True)), 25, 8,
+        interpret=True))
+    b_feat = np.asarray(tophat_pallas2(b, 55, interpret=True))
+    b_th = np.asarray(
+        bilateral_threshold_pallas2(b_feat, 35, 5, interpret=True))
+    keep = np.asarray(bilateral_threshold_pallas2(
+        b, 65, 10, noise_thresh=135, interpret=True))
+
+    want = np.asarray(merge_open_pallas2(r_th, b_th, keep, interpret=True))
+    got = np.asarray(thr_merge_open_pallas2(
+        r_th, b_feat, 35, 5, keep, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+    want_nk = np.asarray(merge_open_pallas2(r_th, b_th, interpret=True))
+    got_nk = np.asarray(
+        thr_merge_open_pallas2(r_th, b_feat, 35, 5, interpret=True))
+    np.testing.assert_array_equal(got_nk, want_nk)
+
+    want_bin, want_pref = merge_open_pallas2(
+        r_th, b_th, keep, emit_prefixes=True, interpret=True)
+    got_bin, got_pref = thr_merge_open_pallas2(
+        r_th, b_feat, 35, 5, keep, emit_prefixes=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_bin), np.asarray(want_bin))
+    np.testing.assert_array_equal(np.asarray(got_pref), np.asarray(want_pref))
