@@ -41,7 +41,7 @@ def main():
     li = jnp.asarray(rng.integers(0, 128, (H, W), np.int32))
     si = jnp.asarray(rng.integers(0, 8, (H, W), np.int32))
 
-    def timed(name, make_kernel, reps_pair=(4, 12)):
+    def timed(name, make_kernel, reps_pair=(16, 64)):
         times = []
         for reps in reps_pair:
             k = make_kernel(reps)
@@ -60,7 +60,7 @@ def main():
             try:
                 per, _ = device_time_per_iter(
                     lambda: (src, li, si), lambda c: body(*c),
-                    n_iters=100, repeats=3)
+                    n_iters=200, repeats=3)
                 times.append(per)
             except Exception as e:
                 print(json.dumps({"probe": name, "reps": reps,
