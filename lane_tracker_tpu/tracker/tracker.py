@@ -36,9 +36,11 @@ class LaneTracker:
         validity: optional ValidityConfig overriding the committed
             thresholds (the reference hardcodes them; see PRESETS for the
             per-demo-video sets documented in tracker_settings.md).
-        pipeline: 'fast' (fused undistort+warp single gather; default) or
-            'compat' (two-stage chain bit-matching the reference's
-            cv2.undistort + cv2.warpPerspective).
+        pipeline: 'fast' (default; the reference's exact two-stage
+            resample chain, ROI-cropped, with the Pallas filter kernels —
+            the benched pipeline) or 'compat' (same chain bit-matching
+            the reference's cv2.undistort + cv2.warpPerspective with the
+            XLA filter ops).
     """
 
     def __init__(
