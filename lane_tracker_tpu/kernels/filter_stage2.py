@@ -83,6 +83,223 @@ def _read_of(buf):
     return read
 
 
+@functools.lru_cache(maxsize=None)
+def zono_schedule(ksize: int):
+    """Minkowski (zonotope) decomposition of OpenCV's elliptical SE.
+
+    Round-4 finding (scripts/se_decomp_search.py): the digital ellipse
+    EQUALS the lattice fill of its convex hull, the hull is centrally
+    symmetric, and the Minkowski sum of one segment per antipodal
+    hull-edge pair covers all but a handful of cells (12 for k=55, 8 for
+    k=29) while never overshooting.  Erosion/dilation by a Minkowski sum
+    is a CHAIN of segment erosions, each O(log n) pow2-doubling
+    statements — ~29 binary-op sweeps for k=55 where the per-row-run
+    scheme (extent_groups/_morph) pays ~110 — and the missing cells are
+    a union of short row-runs, each a 1-2-read window off a shared pow2
+    aggregate.  Exact by construction; this builder verifies the
+    cell-for-cell equality and raises if a ksize ever fails it.
+
+    Returns (steps, runs, r):
+      steps: tuple of (g_dy, g_dx) — chained binary ops
+             out(y, x) = op(in(y, x), in(y + g_dy, x + g_dx)), with all
+             g_dy >= 0 (directions normalized; the chain result is the
+             SE anchored at its top row, i.e. erosion output at y reads
+             the final chain buffer at y - r).
+      runs:  tuple of (dy, lo, hi) residual row-runs of E \\ zonotope
+             (offsets from the SE center).
+    """
+    import numpy as np
+
+    r = ksize // 2
+    E = np.zeros((ksize, ksize), bool)
+    for dy, (lo, hi) in ellipse_runs(ksize):
+        E[dy + r, lo + r:hi + r + 1] = True
+
+    # Convex hull of the SE cells (monotone chain).
+    pts = sorted(map(tuple, np.argwhere(E)))
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+
+    # Primitive edge vectors; keep one per antipodal pair (the hull of a
+    # centrally symmetric set is centrally symmetric).
+    from math import gcd
+
+    counts = {}
+    n = len(hull)
+    for i in range(n):
+        a, b = hull[i], hull[(i + 1) % n]
+        dy, dx = b[0] - a[0], b[1] - a[1]
+        g = gcd(abs(dy), abs(dx))
+        d = (dy // g, dx // g)
+        if d[0] < 0 or (d[0] == 0 and d[1] < 0):
+            d = (-d[0], -d[1])
+        counts[d] = counts.get(d, 0) + g
+    factors = []
+    for (dy, dx), c in counts.items():
+        if c % 2:
+            raise ValueError(f"asymmetric hull for ksize={ksize}")
+        factors.append((dy, dx, c // 2))
+
+    # Verify: Minkowski sum of the factor segments == hull fill == E,
+    # up to the residual runs (subset always; record what's missing).
+    C = 4 * ksize + 1
+    c0 = 2 * ksize
+    S = np.zeros((C, C), bool)
+    S[c0, c0] = True
+    toty = totx = 0
+    for dy, dx, cnt in factors:
+        nxt = np.zeros_like(S)
+        for i in range(cnt + 1):
+            nxt |= np.roll(S, (i * dy, i * dx), axis=(0, 1))
+        S = nxt
+        toty += dy * cnt
+        totx += dx * cnt
+    if toty != 2 * r or totx != 0:
+        raise ValueError(f"unexpected displacement for ksize={ksize}")
+    S = np.roll(S, (-r, 0), axis=(0, 1))
+    Sc = S[c0 - r:c0 + r + 1, c0 - r:c0 + r + 1].copy()
+    S[c0 - r:c0 + r + 1, c0 - r:c0 + r + 1] = False
+    if S.any() or (Sc & ~E).any():
+        raise ValueError(f"zonotope not a subset of the SE for {ksize}")
+
+    # Residual row-runs.
+    runs = []
+    for y in range(ksize):
+        row = np.where(E[y] & ~Sc[y])[0]
+        if not len(row):
+            continue
+        s = p = int(row[0])
+        for x in row[1:]:
+            if x == p + 1:
+                p = int(x)
+            else:
+                runs.append((y - r, s - r, p - r))
+                s = p = int(x)
+        runs.append((y - r, s - r, p - r))
+
+    # Statement schedule: factors ordered by descending vertical reach
+    # (large n*dy first) so later statements touch fewer rows — the
+    # backward range pass in _morph_zono turns that into real savings.
+    factors.sort(key=lambda f: -(f[0] * f[2]))
+    steps = []
+    for dy, dx, cnt in factors:
+        L = cnt + 1
+        p = 1
+        while 2 * p <= L:
+            steps.append((p * dy, p * dx))
+            p *= 2
+        if p < L:
+            # Overlapping final window — safe for idempotent min/max.
+            steps.append(((L - p) * dy, (L - p) * dx))
+    return tuple(steps), tuple(runs), r
+
+
+def _morph_zono(base_read, work0, work1, acc, ksize, op, neutral,
+                mx, w, row_lo, row_n, grow_lo, grow_n):
+    """Drop-in for _morph using the Minkowski/zonotope decomposition.
+
+    Same contract: base_read(rows, cols) must be valid over rows
+    [row_lo - r, row_lo + row_n + r) (within [grow_lo, grow_lo+grow_n))
+    and columns expanded by r, with margins carrying the op's neutral;
+    acc receives the result over [row_lo, row_lo+row_n) x [mx, mx+w).
+
+    Two phases: (1) the residual row-runs combine into acc off a shared
+    pow2 pair-aggregate of the base (one growth statement, 1-2 reads per
+    run); (2) the segment-erosion chain runs through the work ping-pong
+    with exact backward-computed row/column ranges, and its recentered
+    final window folds into acc.
+    """
+    R, C = work0.shape
+    steps, runs, r = zono_schedule(ksize)
+    assert row_lo - r >= grow_lo, (row_lo, r, grow_lo)
+    assert row_lo + row_n + r <= grow_lo + grow_n, (row_lo, row_n, r)
+
+    # ---- phase 1: residual runs into acc ----
+    acc_started = False
+    if runs:
+        need_pair = any(hi - lo + 1 >= 2 for _, lo, hi in runs)
+        pair = None
+        if need_pair:
+            # g2(y, x) = op(base(y, x), base(y, x+1)) over the union of
+            # the runs' read reach.
+            dys = [dy for dy, _, _ in runs]
+            p_lo = row_lo + min(dys)
+            p_n = row_n + max(dys) - min(dys)
+            cl = mx + min(lo for _, lo, _ in runs)
+            cr = mx + w + max(hi for _, _, hi in runs)
+            assert p_lo >= grow_lo and p_lo + p_n <= grow_lo + grow_n
+            assert cl >= 1 and cr <= C - 1, (cl, cr, C)
+            work0[p_lo:p_lo + p_n, cl:cr] = op(
+                base_read(slice(p_lo, p_lo + p_n), slice(cl, cr)),
+                base_read(slice(p_lo, p_lo + p_n), slice(cl + 1, cr + 1)))
+            pair = work0
+        terms = []
+        for dy, lo, hi in runs:
+            rs = slice(row_lo + dy, row_lo + dy + row_n)
+            L = hi - lo + 1
+            if L == 1:
+                terms.append(base_read(rs, slice(mx + lo, mx + lo + w)))
+            else:
+                # Window [lo, hi] as overlapping pair reads: pairs at
+                # lo, lo+2, ... and a final pair at hi-1 (idempotent op).
+                x = lo
+                while x + 1 <= hi:
+                    terms.append(pair[rs, mx + x:mx + x + w])
+                    x += 2
+                if x == hi:
+                    terms.append(pair[rs, mx + hi - 1:mx + hi - 1 + w])
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = op(expr, t)
+        acc[row_lo:row_lo + row_n, mx:mx + w] = expr
+        acc_started = True
+
+    # ---- phase 2: the segment-erosion chain ----
+    # Backward pass: needed output range of each step.
+    ranges = [None] * len(steps)
+    lo_i, n_i, cl_i, cw_i = row_lo - r, row_n, mx, w
+    for i in range(len(steps) - 1, -1, -1):
+        ranges[i] = (lo_i, n_i, cl_i, cw_i)
+        gdy, gdx = steps[i]
+        n_i += gdy
+        cl_i += min(0, gdx)
+        cw_i += abs(gdx)
+    assert lo_i >= grow_lo and lo_i + n_i <= grow_lo + grow_n, (
+        lo_i, n_i, grow_lo, grow_n)
+    assert cl_i >= 0 and cl_i + cw_i <= C, (cl_i, cw_i, C)
+
+    reads = base_read
+    ping = [work1, work0]  # work0 (residual pair) is dead after phase 1
+    pidx = 0
+    for (gdy, gdx), (lo, n, cl, cw) in zip(steps, ranges):
+        dst = ping[pidx]
+        dst[lo:lo + n, cl:cl + cw] = op(
+            reads(slice(lo, lo + n), slice(cl, cl + cw)),
+            reads(slice(lo + gdy, lo + gdy + n),
+                  slice(cl + gdx, cl + gdx + cw)))
+        reads = _read_of(dst)
+        pidx ^= 1
+    final = reads(slice(row_lo - r, row_lo - r + row_n), slice(mx, mx + w))
+    if acc_started:
+        acc[row_lo:row_lo + row_n, mx:mx + w] = op(
+            acc[row_lo:row_lo + row_n, mx:mx + w], final)
+    else:
+        acc[row_lo:row_lo + row_n, mx:mx + w] = final
+
+
 def _morph(base_read, work0, work1, acc, ksize, op, neutral,
            mx, w, row_lo, row_n, grow_lo, grow_n):
     """Erode/dilate by OpenCV's elliptical SE into ``acc``.
@@ -167,6 +384,7 @@ def _morph(base_read, work0, work1, acc, ksize, op, neutral,
 def _tophat_kernel(
     in_hbm, out_ref, stage, w0, w1, acc, dacc, sem,
     *, ksize, block, halo, mv, mx, h_img, w_img, cols, dtype,
+    morph=_morph,
 ):
     t = pl.program_id(0)  # frame within the batch
     i = pl.program_id(1)  # row block within the frame
@@ -200,8 +418,8 @@ def _tophat_kernel(
     e_lo, e_n = mv + r, block + 2 * r
 
     # ---- erode (aggregates over all data rows) ----
-    _morph(base_read, w0, w1, acc, ksize, jnp.minimum, 255,
-           mx, w, e_lo, e_n, mv, in_rows)
+    morph(base_read, w0, w1, acc, ksize, jnp.minimum, 255,
+          mx, w, e_lo, e_n, mv, in_rows)
 
     # The opening's dilate reads the eroded image with BORDER_CONSTANT 0
     # (dilate neutral) outside the image — zero acc's out-of-image and
@@ -217,8 +435,8 @@ def _tophat_kernel(
         in_img, acc[e_lo:e_lo + e_n, :], jnp.asarray(0, dtype))
 
     # ---- dilate of the eroded image (aggregates over the eroded rows) ----
-    _morph(_read_of(acc), w0, w1, dacc, ksize, jnp.maximum, 0,
-           mx, w, mv + 2 * r, block, e_lo, e_n)
+    morph(_read_of(acc), w0, w1, dacc, ksize, jnp.maximum, 0,
+          mx, w, mv + 2 * r, block, e_lo, e_n)
 
     # ---- tophat = x - opened; emit this block's output rows ----
     # (differences of 0..255 integers are exact in bf16)
@@ -231,7 +449,8 @@ def _tophat_kernel(
 
 
 def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False,
+                   morph_impl: str = "zono") -> jnp.ndarray:
     """White tophat with OpenCV's ksize x ksize elliptical SE.
 
     Bit-exact with ops.morphology.tophat_ellipse (uint8 in/out), computed
@@ -269,7 +488,7 @@ def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
         _tophat_kernel,
         ksize=int(ksize), block=int(block), halo=int(halo),
         mv=int(mv), mx=int(mx), h_img=int(H), w_img=int(W), cols=int(cols),
-        dtype=dtype,
+        dtype=dtype, morph=_morph_zono if morph_impl == "zono" else _morph,
     )
     out = pl.pallas_call(
         kernel,
@@ -616,7 +835,7 @@ def bilateral_threshold_pallas2(
 
 
 def _tophat_riders_kernel(*refs, ksize, block, halo, mv, mx, h_img, w_img,
-                          cols, dtype, riders):
+                          cols, dtype, riders, morph=_morph):
     """Tophat(ksize) of the primary input + one bilateral cross threshold
     per rider, in one kernel.
 
@@ -695,8 +914,8 @@ def _tophat_riders_kernel(*refs, ksize, block, halo, mv, mx, h_img, w_img,
 
     r = ksize // 2
     e_lo, e_n = mv + r, block + 2 * r
-    _morph(base_read, w0, w1, acc, ksize, jnp.minimum, 255,
-           mx, w, e_lo, e_n, mv, in_rows)
+    morph(base_read, w0, w1, acc, ksize, jnp.minimum, 255,
+          mx, w, e_lo, e_n, mv, in_rows)
     shape = (e_n, stage.shape[1])
     rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -706,8 +925,8 @@ def _tophat_riders_kernel(*refs, ksize, block, halo, mv, mx, h_img, w_img,
     )
     acc[e_lo:e_lo + e_n, :] = jnp.where(
         in_img, acc[e_lo:e_lo + e_n, :], jnp.asarray(0, dtype))
-    _morph(_read_of(acc), w0, w1, dacc, ksize, jnp.maximum, 0,
-           mx, w, mv + 2 * r, block, e_lo, e_n)
+    morph(_read_of(acc), w0, w1, dacc, ksize, jnp.maximum, 0,
+          mx, w, mv + 2 * r, block, e_lo, e_n)
     s = mv + halo
     diff = (
         stage[s:s + block, mx:mx + w].astype(jnp.int32).astype(dtype)
@@ -736,7 +955,7 @@ def _tophat_riders_kernel(*refs, ksize, block, halo, mv, mx, h_img, w_img,
 
 
 def tophat_riders_pallas2(img, ksize, riders, *, block: int | None = None,
-                          interpret: bool = False):
+                          interpret: bool = False, morph_impl: str = "zono"):
     """White tophat(ksize) of ``img`` plus one bilateral cross threshold
     per rider, fused so the riders' MXU work hides under the tophat's
     VPU sweeps.
@@ -830,6 +1049,7 @@ def tophat_riders_pallas2(img, ksize, riders, *, block: int | None = None,
         ksize=ksize, block=int(block), halo=int(halo), mv=int(mv),
         mx=int(mx), h_img=int(H), w_img=int(W), cols=int(cols),
         dtype=dtype, riders=tuple(riders_meta),
+        morph=_morph_zono if morph_impl == "zono" else _morph,
     )
     outs = pl.pallas_call(
         kernel,
@@ -852,466 +1072,6 @@ def tophat_riders_pallas2(img, ksize, riders, *, block: int | None = None,
     if squeeze:
         res = [o[0] for o in res]
     return tuple(res)
-
-
-# ---------------------------------------------------------------------------
-# Fused channel kernels: tophat + threshold(s) in one VMEM residency
-# ---------------------------------------------------------------------------
-
-
-def _channel_body(
-    stage, w0, w1, acc, dacc, fH, fV, uh, vb, out_th,
-    *, kt, kb, C, block, halo, mv, mx, h_img, w_img, cols, vm, vk, i,
-    sbf0=None, fHn=None, fVn=None, uhn=None, vbn=None, out_keep=None,
-    kn=0, Cn=0, nthr=0, vmn=0, vkn=0,
-):
-    """Shared body: bf16 tophat -> MXU band-matmul bilateral threshold,
-    plus (optionally) the noise keep-mask threshold on the RAW channel.
-
-    The channel's raw block is staged ONCE; the tophat runs VPU-bound
-    while every window sum rides the otherwise-idle MXU (probe6), and no
-    intermediate ever round-trips HBM.  T (the tophat image) is
-    materialized over the threshold's full read reach with zeros outside
-    the image (the reference's BORDER_CONSTANT 0), so the band matmuls
-    are exact.
-    """
-    in_rows = stage.shape[0] - 2 * mv
-    w = w_img
-    rt = kt // 2
-    O = mv + halo  # first output row in buffer coordinates
-    dtype = jnp.bfloat16
-
-    def base_read(rs, cs):
-        return stage[rs, cs].astype(jnp.int32).astype(dtype)
-
-    # ---- tophat over the threshold's read reach ----
-    dl_lo = O - kb - 1
-    dl_n = block + 2 * kb + 1
-    e_lo, e_n = dl_lo - rt, dl_n + 2 * rt
-    _morph(base_read, w0, w1, acc, kt, jnp.minimum, 255,
-           mx, w, e_lo, e_n, mv, in_rows)
-
-    shape = (e_n, cols)
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    grow = rows_i + e_lo - mv + i * block - halo
-    in_img = (
-        (grow >= 0) & (grow < h_img) & (cols_i >= mx) & (cols_i < mx + w_img)
-    )
-    acc[e_lo:e_lo + e_n, :] = jnp.where(
-        in_img, acc[e_lo:e_lo + e_n, :], jnp.asarray(0, dtype))
-
-    _morph(_read_of(acc), w0, w1, dacc, kt, jnp.maximum, 0,
-           mx, w, dl_lo, dl_n, e_lo, e_n)
-
-    # T := tophat = x - opened, 0 outside the image, over the dilate range
-    # at FULL width (the h-band matmul sweeps every column); the erode
-    # values in acc are dead, so acc becomes T.
-    shape2 = (dl_n, cols)
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
-    cols2 = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
-    grow2 = rows2 + dl_lo - mv + i * block - halo
-    in_img2 = (
-        (grow2 >= 0) & (grow2 < h_img)
-        & (cols2 >= mx) & (cols2 < mx + w_img)
-    )
-    acc[dl_lo:dl_lo + dl_n, :] = jnp.where(
-        in_img2,
-        base_read(slice(dl_lo, dl_lo + dl_n), slice(0, cols))
-        - dacc[dl_lo:dl_lo + dl_n, :],
-        jnp.asarray(0, dtype),
-    )
-    if vk > dl_n:
-        # Keep the vertical dot's padded K reads finite (band columns
-        # there are zero, but 0 * garbage could be NaN).
-        acc[dl_lo + dl_n:dl_lo + vk, :] = jnp.zeros(
-            (vk - dl_n, cols), dtype)
-
-    # ---- bilateral threshold of T: two band matmuls + compares ----
-    fH[:, :] = jnp.dot(acc[O:O + block, :], uh,
-                       preferred_element_type=jnp.float32)
-    fV[:, :] = jnp.dot(vb, acc[dl_lo:dl_lo + vk, :],
-                       preferred_element_type=jnp.float32)
-    x = acc[O:O + block, mx:mx + w].astype(jnp.float32)
-    tt = jnp.float32(kb) * x - jnp.float32(C * kb)
-    hit = (
-        ((fH[:, mx - kb - 1:mx - kb - 1 + w] < tt) & (fH[:, mx:mx + w] < tt))
-        | ((fV[0:block, mx:mx + w] < tt)
-           & (fV[kb + 1:kb + 1 + block, mx:mx + w] < tt))
-    )
-    out_th[0, :, mx:mx + w] = jnp.where(
-        hit, jnp.int32(255), jnp.int32(0)).astype(jnp.uint8)
-
-    if out_keep is None:
-        return
-
-    # ---- noise keep-mask: bilateral threshold of the RAW channel with
-    # zero borders + the inRange fold (lane_tracker.py:221-231) ----
-    shape3 = (stage.shape[0], cols)
-    rows3 = jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
-    cols3 = jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
-    grow3 = rows3 - mv + i * block - halo
-    in_img3 = (
-        (grow3 >= 0) & (grow3 < h_img)
-        & (cols3 >= mx) & (cols3 < mx + w_img)
-    )
-    sbf0[:, :] = jnp.where(
-        in_img3, stage[:, :].astype(jnp.int32).astype(dtype),
-        jnp.asarray(0, dtype))
-    a_lo_n = O - kn - 1
-    fHn[:, :] = jnp.dot(sbf0[O:O + block, :], uhn,
-                        preferred_element_type=jnp.float32)
-    fVn[:, :] = jnp.dot(vbn, sbf0[a_lo_n:a_lo_n + vkn, :],
-                        preferred_element_type=jnp.float32)
-    xr = sbf0[O:O + block, mx:mx + w].astype(jnp.float32)
-    ttn = jnp.float32(kn) * xr - jnp.float32(Cn * kn)
-    hitn = (
-        ((fHn[:, mx - kn - 1:mx - kn - 1 + w] < ttn)
-         & (fHn[:, mx:mx + w] < ttn))
-        | ((fVn[0:block, mx:mx + w] < ttn)
-           & (fVn[kn + 1:kn + 1 + block, mx:mx + w] < ttn))
-    )
-    keep = (xr < jnp.float32(nthr)) | hitn
-    out_keep[0, :, mx:mx + w] = jnp.where(
-        keep, jnp.int32(255), jnp.int32(0)).astype(jnp.uint8)
-
-
-def _channel_body_pyr(
-    stage, w0, w1, acc, dacc, iw0, iw1, accH, accV, out_th,
-    *, kt, kb, C, block, halo, mv, mx, h_img, w_img, cols, i,
-):
-    """Pyramid-sum variant of _channel_body: bf16 tophat -> i32 pow2
-    after-sum pyramids (_after_sums_h/_after_sums_v) -> compares.
-
-    Unlike the band-matmul variant, every statement is LINEAR in block
-    rows — no dense K dimension growing with the block — so this is the
-    variant that can run at FULL frame height (grid=1), where the
-    tophat's halo redundancy vanishes entirely.
-    """
-    in_rows = stage.shape[0] - 2 * mv
-    w = w_img
-    rt = kt // 2
-    O = mv + halo  # first output row in buffer coordinates
-    dtype = jnp.bfloat16
-
-    def base_read(rs, cs):
-        return stage[rs, cs].astype(jnp.int32).astype(dtype)
-
-    # ---- tophat over the threshold's read reach ----
-    dl_lo = O - kb - 1
-    dl_n = block + 2 * kb + 1
-    e_lo, e_n = dl_lo - rt, dl_n + 2 * rt
-    _morph(base_read, w0, w1, acc, kt, jnp.minimum, 255,
-           mx, w, e_lo, e_n, mv, in_rows)
-
-    shape = (e_n, cols)
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    grow = rows_i + e_lo - mv + i * block - halo
-    in_img = (
-        (grow >= 0) & (grow < h_img) & (cols_i >= mx) & (cols_i < mx + w_img)
-    )
-    acc[e_lo:e_lo + e_n, :] = jnp.where(
-        in_img, acc[e_lo:e_lo + e_n, :], jnp.asarray(0, dtype))
-
-    _morph(_read_of(acc), w0, w1, dacc, kt, jnp.maximum, 0,
-           mx, w, dl_lo, dl_n, e_lo, e_n)
-
-    # acc := tophat = x - opened, 0 outside the image (BORDER_CONSTANT 0
-    # semantics of the reference's filter2D, lane_tracker.py:73-76), at
-    # full expanded width so the horizontal sums' margin reads are 0.
-    shape2 = (dl_n, cols)
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
-    cols2 = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
-    grow2 = rows2 + dl_lo - mv + i * block - halo
-    in_img2 = (
-        (grow2 >= 0) & (grow2 < h_img)
-        & (cols2 >= mx) & (cols2 < mx + w_img)
-    )
-    acc[dl_lo:dl_lo + dl_n, :] = jnp.where(
-        in_img2,
-        base_read(slice(dl_lo, dl_lo + dl_n), slice(0, cols))
-        - dacc[dl_lo:dl_lo + dl_n, :],
-        jnp.asarray(0, dtype),
-    )
-
-    # ---- bilateral threshold of T via i32 after-sum pyramids ----
-    # (window sums reach kb*255 > bf16's exact integer range, so sums run
-    # i32; tophat values are 0..255 integers, exact through the cast)
-    def tread(rs, cs):
-        return acc[rs, cs].astype(jnp.int32)
-
-    _after_sums_h(tread, iw0, iw1, accH, kb, mx, w, O, block, cols)
-    _after_sums_v(tread, iw0, iw1, accV, kb, mx, w, dl_lo, block + kb + 1)
-
-    x = acc[O:O + block, mx:mx + w].astype(jnp.int32)
-    tt = kb * x - C * kb
-    hit = (
-        ((accH[O:O + block, mx - kb - 1:mx - kb - 1 + w] < tt)
-         & (accH[O:O + block, mx:mx + w] < tt))
-        | ((accV[dl_lo:dl_lo + block, mx:mx + w] < tt)
-           & (accV[O:O + block, mx:mx + w] < tt))
-    )
-    out_th[0, :, mx:mx + w] = jnp.where(
-        hit, jnp.int32(255), jnp.int32(0)).astype(jnp.uint8)
-
-
-def _channel_pyr_kernel(in_hbm, out_th, stage, w0, w1, acc, dacc,
-                        iw0, iw1, accH, accV, sem, *, mv, block, cols, **kw):
-    t = pl.program_id(0)
-    i = pl.program_id(1)
-    in_rows = stage.shape[0] - 2 * mv
-    cp = pltpu.make_async_copy(
-        in_hbm.at[t, pl.ds(i * block, in_rows), :],
-        stage.at[mv:mv + in_rows, :], sem)
-    cp.start()
-    stage[0:mv, :] = jnp.full((mv, cols), 255, jnp.uint8)
-    stage[mv + in_rows:, :] = jnp.full((mv, cols), 255, jnp.uint8)
-    cp.wait()
-    _channel_body_pyr(stage, w0, w1, acc, dacc, iw0, iw1, accH, accV,
-                      out_th, mv=mv, block=block, cols=cols, i=i, **kw)
-
-
-def channel_stage_pyr_pallas2(
-    img: jnp.ndarray,
-    kt: int,
-    kb: int,
-    C: int,
-    *,
-    block: int | None = None,
-    interpret: bool = False,
-):
-    """Fused per-channel stage, pyramid-sum variant: tophat(kt) ->
-    bilateral threshold(kb, C) in one kernel, with the window sums as i32
-    pow2 pyramids instead of band matmuls.  Defaults to FULL-HEIGHT
-    blocks (grid=1 per frame): all statements are linear in block rows,
-    so the biggest block minimizes total sweep work (no halo redundancy).
-    Bit-exact with tophat_pallas2 -> bilateral_threshold_pallas2.
-
-    Perf verdict (scripts/mosaic_probe7.py): NOT wired — at full height
-    the R channel measured 0.2383 ms/frame vs 0.1936 unfused (the 9
-    live full-width VMEM buffers blow past what fits without spilling),
-    and smaller blocks reduce to channel_stage_pallas2's halo trade,
-    which also does not win.
-    """
-    squeeze = img.ndim == 2
-    if squeeze:
-        img = img[None]
-    T, H, W = img.shape
-    kt, kb = int(kt), int(kb)
-    rt = kt // 2
-    halo = kb + 1 + 2 * rt
-    if block is None:
-        block = _round_up(H, 8)
-    grid = -(-H // block)
-    mx = _round_up(kb + 1, 64)
-    cols = _round_up(W + 2 * mx, LANE)
-    mv = 8
-    in_rows = _round_up(block + 2 * halo, 8)
-    rows = in_rows + 2 * mv
-    assert mx - rt - 1 >= 1 << max((2 * rt + 1).bit_length() - 2, 0)
-    eg_b = 1 << max(kb.bit_length() - 2, 0)
-    assert mx - kb - 1 >= eg_b - 1, (kb, mx)
-
-    hbuf = jnp.full((T, grid * block + (in_rows - block), cols), 255,
-                    jnp.uint8)
-    hbuf = jax.lax.dynamic_update_slice(hbuf, img, (0, halo, mx))
-
-    dtype = jnp.bfloat16
-    kernel = functools.partial(
-        _channel_pyr_kernel,
-        kt=kt, kb=kb, C=int(C), block=int(block), halo=int(halo),
-        mv=int(mv), mx=int(mx), h_img=int(H), w_img=int(W), cols=int(cols),
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(T, grid),
-        out_shape=jax.ShapeDtypeStruct((T, grid * block, cols), jnp.uint8),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((rows, cols), jnp.uint8),   # stage
-            pltpu.VMEM((rows, cols), dtype),       # w0
-            pltpu.VMEM((rows, cols), dtype),       # w1
-            pltpu.VMEM((rows, cols), dtype),       # acc (erode -> T)
-            pltpu.VMEM((rows, cols), dtype),       # dacc (opened)
-            pltpu.VMEM((rows, cols), jnp.int32),   # iw0
-            pltpu.VMEM((rows, cols), jnp.int32),   # iw1
-            pltpu.VMEM((rows, cols), jnp.int32),   # accH
-            pltpu.VMEM((rows, cols), jnp.int32),   # accV
-            pltpu.SemaphoreType.DMA,
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(hbuf)
-    out = out[:, :H, mx:mx + W]
-    return out[0] if squeeze else out
-
-
-def _channel_kernel(in_hbm, uh_ref, vb_ref, out_th, stage, w0, w1, acc,
-                    dacc, fH, fV, sem, *, mv, block, cols, **kw):
-    t = pl.program_id(0)
-    i = pl.program_id(1)
-    in_rows = stage.shape[0] - 2 * mv
-    cp = pltpu.make_async_copy(
-        in_hbm.at[t, pl.ds(i * block, in_rows), :],
-        stage.at[mv:mv + in_rows, :], sem)
-    cp.start()
-    stage[0:mv, :] = jnp.full((mv, cols), 255, jnp.uint8)
-    stage[mv + in_rows:, :] = jnp.full((mv, cols), 255, jnp.uint8)
-    cp.wait()
-    _channel_body(stage, w0, w1, acc, dacc, fH, fV, uh_ref[...], vb_ref[...],
-                  out_th, mv=mv, block=block, cols=cols, i=i, **kw)
-
-
-def _channel_noise_kernel(in_hbm, uh_ref, vb_ref, uhn_ref, vbn_ref,
-                          out_th, out_keep, stage, sbf0, w0, w1, acc, dacc,
-                          fH, fV, fHn, fVn, sem, *, mv, block, cols, **kw):
-    t = pl.program_id(0)
-    i = pl.program_id(1)
-    in_rows = stage.shape[0] - 2 * mv
-    cp = pltpu.make_async_copy(
-        in_hbm.at[t, pl.ds(i * block, in_rows), :],
-        stage.at[mv:mv + in_rows, :], sem)
-    cp.start()
-    stage[0:mv, :] = jnp.full((mv, cols), 255, jnp.uint8)
-    stage[mv + in_rows:, :] = jnp.full((mv, cols), 255, jnp.uint8)
-    cp.wait()
-    _channel_body(stage, w0, w1, acc, dacc, fH, fV, uh_ref[...], vb_ref[...],
-                  out_th, mv=mv, block=block, cols=cols, i=i,
-                  sbf0=sbf0, fHn=fHn, fVn=fVn, uhn=uhn_ref[...],
-                  vbn=vbn_ref[...], out_keep=out_keep, **kw)
-
-
-def channel_stage_pallas2(
-    img: jnp.ndarray,
-    kt: int,
-    kb: int,
-    C: int,
-    *,
-    noise: tuple | None = None,
-    block: int | None = None,
-    interpret: bool = False,
-):
-    """Fused per-channel stage: tophat(kt) -> bilateral threshold(kb, C),
-    plus with ``noise=(kn, Cn, nthr)`` the noise keep-mask threshold of
-    the RAW channel — one kernel, one staging, intermediates never leave
-    VMEM.  Bit-exact with the unfused chain (tophat_pallas2 ->
-    bilateral_threshold_pallas2).  Accepts (H, W) or (T, H, W).
-
-    Returns th, or (th, keep) when noise is requested.
-
-    Perf verdict (scripts/mosaic_probe7.py, TPU v5 lite, T=128): NOT
-    wired into the pipeline.  The tophat must cover the threshold's full
-    read reach, so each block pays a (2*kb+1 + 2*kt//2)-row halo of
-    redundant tophat work; at the best block size (H/2) the R channel
-    ties the unfused chain (0.1922 vs 0.1936 ms/frame) and the B+noise
-    channel loses (0.3687 vs 0.320).  The u8 HBM staging round trips the
-    fusion removes cost less than the halo redundancy it adds.
-    """
-    squeeze = img.ndim == 2
-    if squeeze:
-        img = img[None]
-    T, H, W = img.shape
-    kt, kb = int(kt), int(kb)
-    rt = kt // 2
-    kn = int(noise[0]) if noise else 0
-    halo = max(kb + 1 + 2 * rt, (kn + 1) if noise else 0)
-    if block is None:
-        block = _round_up(-(-H // 3), 8)
-    grid = -(-H // block)
-    mx = _round_up(max(kb, kn) + 1, 64)
-    cols = _round_up(W + 2 * mx, LANE)
-    vm = _round_up(block + kb + 1, 8)
-    vk = _round_up(vm + kb, LANE)
-    mv_need = vk - block - halo - kb - 1
-    vmn = vkn = 0
-    if noise:
-        vmn = _round_up(block + kn + 1, 8)
-        vkn = _round_up(vmn + kn, LANE)
-        mv_need = max(mv_need, vkn - block - halo - kn - 1)
-    mv = _round_up(max(8, mv_need), 8)
-    in_rows = _round_up(block + 2 * halo, 8)
-    rows = in_rows + 2 * mv
-    assert mx - rt - 1 >= 1 << max((2 * rt + 1).bit_length() - 2, 0)
-
-    hbuf = jnp.full((T, grid * block + (in_rows - block), cols), 255,
-                    jnp.uint8)
-    hbuf = jax.lax.dynamic_update_slice(hbuf, img, (0, halo, mx))
-
-    uh = jnp.asarray(_h_after_band_np(cols, kb), jnp.bfloat16)
-    vb = jnp.asarray(_v_after_band_np(vm, vk, kb), jnp.bfloat16)
-    dtype = jnp.bfloat16
-    static = dict(
-        kt=kt, kb=kb, C=int(C), block=int(block), halo=int(halo),
-        mv=int(mv), mx=int(mx), h_img=int(H), w_img=int(W), cols=int(cols),
-        vm=int(vm), vk=int(vk),
-    )
-    const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda t, i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    base_scratch = [
-        pltpu.VMEM((rows, cols), jnp.uint8),   # stage
-        pltpu.VMEM((rows, cols), dtype),       # w0
-        pltpu.VMEM((rows, cols), dtype),       # w1
-        pltpu.VMEM((rows, cols), dtype),       # acc (erode -> T)
-        pltpu.VMEM((rows, cols), dtype),       # dacc (opened)
-        pltpu.VMEM((block, cols), jnp.float32),  # fH
-        pltpu.VMEM((vm, cols), jnp.float32),     # fV
-    ]
-    params = pltpu.CompilerParams(
-        vmem_limit_bytes=110 * 1024 * 1024,
-        dimension_semantics=("arbitrary", "arbitrary"),
-    )
-    out_sh = jax.ShapeDtypeStruct((T, grid * block, cols), jnp.uint8)
-    out_spec = pl.BlockSpec((1, block, cols), lambda t, i: (t, i, 0),
-                            memory_space=pltpu.VMEM)
-    if not noise:
-        out = pl.pallas_call(
-            functools.partial(_channel_kernel, **static),
-            grid=(T, grid),
-            out_shape=out_sh,
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                      const_spec((cols, cols)), const_spec((vm, vk))],
-            out_specs=out_spec,
-            scratch_shapes=base_scratch + [pltpu.SemaphoreType.DMA],
-            compiler_params=params,
-            interpret=interpret,
-        )(hbuf, uh, vb)
-        out = out[:, :H, mx:mx + W]
-        return out[0] if squeeze else out
-
-    kn, Cn, nthr = (int(v) for v in noise)
-    uhn = jnp.asarray(_h_after_band_np(cols, kn), jnp.bfloat16)
-    vbn = jnp.asarray(_v_after_band_np(vmn, vkn, kn), jnp.bfloat16)
-    th, keep = pl.pallas_call(
-        functools.partial(_channel_noise_kernel, **static,
-                          kn=kn, Cn=Cn, nthr=nthr, vmn=int(vmn),
-                          vkn=int(vkn)),
-        grid=(T, grid),
-        out_shape=(out_sh, out_sh),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  const_spec((cols, cols)), const_spec((vm, vk)),
-                  const_spec((cols, cols)), const_spec((vmn, vkn))],
-        out_specs=(out_spec, out_spec),
-        scratch_shapes=base_scratch[:1] + [
-            pltpu.VMEM((rows, cols), dtype),       # sbf0 (zero-border raw)
-        ] + base_scratch[1:] + [
-            pltpu.VMEM((block, cols), jnp.float32),  # fHn
-            pltpu.VMEM((vmn, cols), jnp.float32),    # fVn
-            pltpu.SemaphoreType.DMA,
-        ],
-        compiler_params=params,
-        interpret=interpret,
-    )(hbuf, uh, vb, uhn, vbn)
-    th = th[:, :H, mx:mx + W]
-    keep = keep[:, :H, mx:mx + W]
-    if squeeze:
-        return th[0], keep[0]
-    return th, keep
 
 
 # ---------------------------------------------------------------------------

@@ -27,9 +27,9 @@ def main():
     from lane_tracker_tpu.calib.undistort import fused_undistort_warp_grid
     from lane_tracker_tpu.kernels.filter_stage2 import (
         bilateral_threshold_pallas2,
-        channel_stage_pyr_pallas2,
         tophat_pallas2,
     )
+    from scripts.channel_fused_postmortem import channel_stage_pyr_pallas2
     from lane_tracker_tpu.kernels.resample import (
         ResampleGrid,
         bilinear_gather_pair,

@@ -202,66 +202,41 @@ def test_merge_open_emitted_prefixes_bit_exact(channels):
     np.testing.assert_array_equal(np.asarray(pref2.packed[1]), want2)
 
 
-def test_fused_channel_kernel_bit_exact(channels):
-    """channel_stage_pallas2 (tophat + threshold [+ noise keep] in one
-    kernel) must equal the unfused XLA chain exactly."""
-    from lane_tracker_tpu.kernels.filter_stage2 import channel_stage_pallas2
-    from lane_tracker_tpu.ops.morphology import tophat_ellipse
-    from lane_tracker_tpu.ops.threshold import bilateral_adaptive_threshold
+def test_zono_schedule_structure():
+    """The Minkowski decomposition must be tiny and verified-exact at
+    build time for the production SE sizes (zono_schedule raises on any
+    coverage failure; see scripts/se_decomp_search.py)."""
+    from lane_tracker_tpu.kernels.filter_stage2 import zono_schedule
 
+    for k, max_steps in ((29, 20), (55, 30)):
+        steps, runs, r = zono_schedule(k)
+        assert r == k // 2
+        assert len(steps) <= max_steps, (k, len(steps))
+        # All residual runs sit inside the SE's reach.
+        for dy, lo, hi in runs:
+            assert abs(dy) <= r and -r <= lo <= hi <= r
+
+
+def test_tophat_zono_bit_exact(channels):
+    """The zonotope morphology (morph_impl='zono', the round-4 default)
+    must equal the XLA ops exactly — same contract as the row-run
+    scheme it replaced on the hot path."""
     r, b = channels
-    want_r = np.asarray(bilateral_adaptive_threshold(
-        tophat_ellipse(r, 29), ksize=25, C=8))
-    got_r = np.asarray(channel_stage_pallas2(r, 29, 25, 8, interpret=True))
-    np.testing.assert_array_equal(got_r, want_r)
-
-    want_b = np.asarray(bilateral_adaptive_threshold(
-        tophat_ellipse(b, 55), ksize=35, C=5))
-    noise2 = np.asarray(bilateral_adaptive_threshold(b, ksize=65, C=10))
-    want_keep = np.where(
-        (b < 135) | (noise2 > 0), 255, 0).astype(np.uint8)
-    got_b, got_keep = channel_stage_pallas2(
-        b, 55, 35, 5, noise=(65, 10, 135), interpret=True)
-    np.testing.assert_array_equal(np.asarray(got_b), want_b)
-    np.testing.assert_array_equal(np.asarray(got_keep), want_keep)
-
-    # Batched (T, H, W) form.
-    got2 = np.asarray(channel_stage_pallas2(
-        np.stack([r, r]), 29, 25, 8, interpret=True))
-    np.testing.assert_array_equal(got2[0], want_r)
-    np.testing.assert_array_equal(got2[1], want_r)
-
-
-def test_fused_channel_pyr_kernel_bit_exact(channels):
-    """channel_stage_pyr_pallas2 (pyramid-sum fused variant, full-height
-    default block) must equal the unfused XLA chain exactly — at the
-    bench's demo1 parameters (R: kt=29 kb=15, B: kt=55 kb=35)."""
-    from lane_tracker_tpu.kernels.filter_stage2 import (
-        channel_stage_pyr_pallas2,
-    )
     from lane_tracker_tpu.ops.morphology import tophat_ellipse
-    from lane_tracker_tpu.ops.threshold import bilateral_adaptive_threshold
 
-    r, b = channels
-    want_r = np.asarray(bilateral_adaptive_threshold(
-        tophat_ellipse(r, 29), ksize=15, C=8))
-    got_r = np.asarray(channel_stage_pyr_pallas2(
-        r, 29, 15, 8, interpret=True))
-    np.testing.assert_array_equal(got_r, want_r)
+    for img, k in ((r, 29), (b, 55)):
+        want = np.asarray(tophat_ellipse(img, k))
+        for impl in ("runs", "zono"):
+            got = np.asarray(
+                tophat_pallas2(img, k, interpret=True, morph_impl=impl))
+            np.testing.assert_array_equal(got, want, err_msg=f"{k}/{impl}")
 
-    want_b = np.asarray(bilateral_adaptive_threshold(
-        tophat_ellipse(b, 55), ksize=35, C=5))
-    got_b = np.asarray(channel_stage_pyr_pallas2(
-        b, 55, 35, 5, interpret=True))
-    np.testing.assert_array_equal(got_b, want_b)
-
-    # Multi-block form (grid > 1) and batched (T, H, W) form.
-    H = r.shape[0]
-    blk = ((-(-H // 2)) + 7) // 8 * 8
-    got_r2 = np.asarray(channel_stage_pyr_pallas2(
-        np.stack([r, r]), 29, 15, 8, block=blk, interpret=True))
-    np.testing.assert_array_equal(got_r2[0], want_r)
-    np.testing.assert_array_equal(got_r2[1], want_r)
+    # Batched (T, H, W) form, multi-block grid.
+    batch = np.stack([b, b[::-1]])
+    want2 = np.stack([np.asarray(tophat_ellipse(x, 55)) for x in batch])
+    got2 = np.asarray(tophat_pallas2(batch, 55, interpret=True,
+                                     morph_impl="zono"))
+    np.testing.assert_array_equal(got2, want2)
 
 
 def test_tophat_riders_bit_exact(channels):
