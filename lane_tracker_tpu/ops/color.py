@@ -107,23 +107,99 @@ def rgb2lab_u8(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(lab, 0, 255).astype(jnp.uint8)
 
 
+@functools.lru_cache(maxsize=1)
+def _gamma_poly():
+    """A polynomial whose f32-Horner rint reproduces the integer gamma
+    LUT EXACTLY on every reachable input (round-4 verdict item 2).
+
+    The sRGB gamma table has only 256 reachable inputs, so instead of
+    approximating the curve (the declined "minimax gamma" trade), we
+    solve the Chebyshev-center LP  max m s.t. |P(i) - gamma_tab[i]| <=
+    0.5 - m  over the power-branch inputs i in [11, 255]: degree 12
+    achieves m = 0.021, an order of magnitude above the worst-case
+    f32 Horner evaluation noise at the table's 2040 output scale
+    (~13 steps x 1 ulp(2048) ~ 0.003), so the rint is stable under ANY
+    FMA-contraction choice a backend makes.  Verified at build time
+    under both evaluation orders; tests pin the property under jit.
+
+    (The cube-root table does NOT admit this: its entries sit as close
+    as 0.002 to a rounding boundary — LP-certified — while f32 noise at
+    the 2^15 scale is ~0.004/step, so no polynomial is rounding-stable
+    there and the fast path keeps the transcendental cbrt with its
+    corpus-proven tolerance contract.)
+
+    Returns (coefs_highest_first, mid, half) for u = (i - mid) / half.
+    """
+    gamma_tab, _, _ = _tables()
+    i = np.arange(256, dtype=np.float64)
+    mask = i / 255.0 > 0.04045
+    ii = i[mask]
+    tab = gamma_tab[mask].astype(np.float64)
+    deg = 12
+    mid = (ii.min() + ii.max()) / 2
+    half = (ii.max() - ii.min()) / 2
+    u = (ii - mid) / half
+
+    from scipy.optimize import linprog
+
+    A = np.vander(u, deg + 1)
+    n = len(u)
+    Aub = np.block([[A, np.ones((n, 1))], [-A, np.ones((n, 1))]])
+    bub = np.concatenate([0.5 + tab, 0.5 - tab])
+    cobj = np.zeros(deg + 2)
+    cobj[-1] = -1.0
+    res = linprog(cobj, A_ub=Aub, b_ub=bub,
+                  bounds=[(None, None)] * (deg + 2), method="highs")
+    assert res.success and res.x[-1] > 0.015, res
+    coefs = res.x[:-1]
+
+    # Verify rint-exactness under both f32 evaluation orders: plain
+    # mul-then-add and fused multiply-add.
+    uf = u.astype(np.float32)
+    plain = np.full_like(uf, np.float32(coefs[0]))
+    fused = plain.astype(np.float64)
+    for c in coefs[1:]:
+        plain = (plain * uf + np.float32(c)).astype(np.float32)
+        fused = np.float32(
+            fused * uf.astype(np.float64) + np.float64(np.float32(c))
+        ).astype(np.float64)
+    assert (np.rint(plain) == tab).all(), "gamma poly: plain f32 mismatch"
+    assert (np.rint(fused) == tab).all(), "gamma poly: fma f32 mismatch"
+    return tuple(float(c) for c in coefs), float(mid), float(half)
+
+
+def _gamma_poly_f32(img_f32_i):
+    """rint(255*8*gamma(i/255)) == gamma_tab[i] for integer-valued i
+    in [0, 255] (exhaustively pinned by tests/test_color.py)."""
+    coefs, mid, half = _gamma_poly()
+    u = (img_f32_i - jnp.float32(mid)) * jnp.float32(1.0 / half)
+    acc = jnp.full(u.shape, jnp.float32(coefs[0]))
+    for c in coefs[1:]:
+        acc = acc * u + jnp.float32(c)
+    lin = jnp.rint(img_f32_i * jnp.float32(8.0 / 12.92))
+    return jnp.where(img_f32_i <= jnp.float32(255.0 * 0.04045), lin,
+                     jnp.rint(acc))
+
+
 def rgb2lab_b_fast(img: jnp.ndarray) -> jnp.ndarray:
     """LAB B-channel via pure f32 arithmetic (no table gathers).
 
     Per-element LUT gathers cost ~45 ms/frame on TPU; this evaluates the
-    same fixed-point pipeline arithmetically: the sRGB linearization and
-    cube-root tables become their defining formulas in float32, with the
-    integer descales done in exact f32 integer math (all intermediates
-    < 2^24).  Only the transcendental evaluations can deviate from the
-    tables, flipping a rounding on rare boundary entries — measured <=1
-    intensity unit on <0.1% of pixels vs the exact path.  The tracker's
-    'fast' pipeline uses this; 'compat' keeps the bit-exact LUT path.
+    same fixed-point pipeline arithmetically, with the integer descales
+    done in exact f32 integer math (all intermediates < 2^24).  Round 4
+    replaced the three pow(2.4) gamma evaluations with a polynomial
+    whose f32-Horner rint reproduces the integer gamma LUT EXACTLY on
+    all 256 inputs under any FMA contraction (_gamma_poly; pinned
+    exhaustively by tests/test_color.py).  The cube root stays
+    transcendental — _gamma_poly's docstring has the LP certificate of
+    why no polynomial is rounding-stable for that table — so the only
+    deviation from rgb2lab_b_u8 remains cbrt's rare boundary rounding:
+    measured <=1 intensity unit on <0.1% of pixels, corpus-parity
+    proven.  The tracker's 'fast' pipeline uses this; 'compat' keeps
+    the bit-exact LUT path.
     """
-    x = img.astype(jnp.float32) / jnp.float32(255.0)
-    lo = x / jnp.float32(12.92)
-    hi = ((x + jnp.float32(0.055)) / jnp.float32(1.055)) ** jnp.float32(2.4)
-    gamma = jnp.where(x <= jnp.float32(0.04045), lo, hi)
-    g = jnp.rint(jnp.float32(255.0 * (1 << _GAMMA_SHIFT)) * gamma)
+    xi = img.astype(jnp.float32)
+    g = _gamma_poly_f32(xi)
     R, G, B = g[..., 0], g[..., 1], g[..., 2]
 
     _, _, C = _tables()

@@ -45,17 +45,30 @@ from lane_tracker_tpu.tracker.state import TrackerState
 
 
 @functools.lru_cache(maxsize=16)
-def build_fleet_processor(config: TrackerConfig, mesh, with_overlay: bool = False):
+def build_fleet_processor(config: TrackerConfig, mesh,
+                          with_overlay: bool = False,
+                          second_attempt: str = "two_phase"):
     """jit fn: (states(S,...), frames(S,T,...), params) -> (states, outs, metrics).
 
     metrics is a dict of fleet-aggregated scalars (psum'd across the
     'stream' mesh axis over ICI).
+
+    second_attempt: 'two_phase' (default) scans attempt-1 only and runs
+    ONE chip-level conditional batched fallback when some local frame
+    failed — free in the steady state, but a failure-bearing chunk pays
+    the batched attempt-2 front for the chip's WHOLE local batch.
+    'hoist' computes attempt-2 artifacts unconditionally up front —
+    every chunk pays ~the attempt-2 filter, but failure-dense loads pay
+    nothing extra (scripts/fleet_bench.py measures the crossover).
     """
+    assert second_attempt in ("two_phase", "hoist"), second_attempt
+
     def fleet_local(states, frames, params):
         S, T = frames.shape[0], frames.shape[1]
         flat = frames.reshape((S * T,) + frames.shape[2:])
         arts = front_artifacts_batch(
-            flat, params, config, hoist_second_attempt=False
+            flat, params, config,
+            hoist_second_attempt=second_attempt == "hoist",
         )
         arts_st = jax.tree_util.tree_map(
             lambda x: x.reshape((S, T) + x.shape[1:]), arts
@@ -72,7 +85,11 @@ def build_fleet_processor(config: TrackerConfig, mesh, with_overlay: bool = Fals
             return jax.vmap(scan_one)(sts, ar)
 
         has_a2 = config.n_tries >= 2 or config.n_tries == -1
-        if has_a2:
+        if has_a2 and second_attempt == "hoist":
+            # Unconditional hoist: attempt-2 artifacts were computed in
+            # the batched front above; scan once with the full config.
+            states, (outs, metas) = scan_all(states, arts_st, config)
+        elif has_a2:
             # Two-phase conditional hoist (round-2 verdict item 2): scan
             # attempt-1 only; ONE chip-level lax.cond runs the batched
             # attempt-2 front + rescan only when some local frame failed.

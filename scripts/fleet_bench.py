@@ -1,10 +1,23 @@
-"""Fleet-mode throughput on one chip: 8 concurrent streams, hoisted
-second attempt (VERDICT r1 item 2).
+"""Fleet-mode throughput on one chip: S concurrent streams, two-phase
+conditional second attempt (round-2 verdict item 2; failure-bearing
+variants round-4 item 5).
 
 Round 1 measured 148 fps aggregate (vs 380 single-stream) because the
 scanned second-attempt lax.cond became an executed-both-sides O(H*W)
-re-filter under vmap.  With the hoist, the scan body is O(H) and the
-batched front half absorbs both attempts' filters.
+re-filter under vmap.  Round 3's two-phase design scans attempt-1 only
+and pays ONE chip-level batched fallback when some local frame failed.
+This bench measures the steady state AND the failure-bearing regimes:
+
+  all_valid     every frame tracks; the conditional fallback never fires
+  fail16        every 16th frame of ONE stream blacked — the cheapest
+                failure still poisons the chip's whole local batch
+  fail16_all    every 16th frame of EVERY stream blacked
+  dead_stream   one stream fully black (a dead camera), others valid
+
+Each config runs under both second-attempt schedules ('two_phase' and
+the unconditional 'hoist') so the crossover is measured, not reasoned
+about.  Results print as one JSON line per (config, schedule) and are
+appended to FLEET_BENCH.json at the repo root (the committed artifact).
 
 Usage: nohup python scripts/fleet_bench.py [S T ...] > /tmp/fleet.log &
 """
@@ -38,7 +51,7 @@ def main(argv):
     names = ["frame911.jpg", "frame971.jpg", "test4.jpg", "straight_lines1.jpg"]
     imgs = [np.asarray(Image.open(f"assets/{n}").convert("RGB")) for n in names]
 
-    configs = [(8, 16), (8, 32), (4, 32)]
+    configs = [(8, 32)]
     if argv:
         configs = [(int(argv[i]), int(argv[i + 1]))
                    for i in range(0, len(argv), 2)]
@@ -48,34 +61,65 @@ def main(argv):
     from lane_tracker_tpu.parallel.streams import build_fleet_processor
 
     mesh = Mesh(np.asarray(jax.devices()[:1]), axis_names=("stream",))
+    results = []
 
     for S, T in configs:
-        frames = np.stack([
+        base = np.stack([
             np.stack([imgs[(s + i) % len(imgs)] for i in range(T)])
             for s in range(S)
         ])
-        frames_d = jax.device_put(frames)
-        single = make_initial_state(config, params.warped_size)
-        states0 = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x[None], (S, *x.shape)), single)
-        fleet = build_fleet_processor(config, mesh, with_overlay=True)
+        variants = {"all_valid": base}
+        f16 = base.copy()
+        f16[0, ::16] = 0
+        variants["fail16"] = f16
+        f16a = base.copy()
+        f16a[:, ::16] = 0
+        variants["fail16_all"] = f16a
+        dead = base.copy()
+        dead[0] = 0
+        variants["dead_stream"] = dead
 
-        def body(c, p):
-            states, fr = c
-            states, outs, metrics = fleet(states, fr, p)
-            d = (outs.overlay.max() & 1).astype(jnp.uint8)
-            return (states, fr ^ d)
+        for schedule in ("two_phase", "hoist"):
+            fleet = build_fleet_processor(config, mesh, with_overlay=True,
+                                          second_attempt=schedule)
+            for vname, frames in variants.items():
+                frames_d = jax.device_put(frames)
+                single = make_initial_state(config, params.warped_size)
+                states0 = jax.tree_util.tree_map(
+                    lambda x: jnp.broadcast_to(x[None], (S, *x.shape)),
+                    single)
 
-        per_iter, _ = device_time_per_iter(
-            lambda: (states0, frames_d), body, n_iters=8, repeats=3,
-            invariant=params)
-        frames_per_call = S * T
-        fps = frames_per_call / per_iter
-        print(json.dumps({
-            "streams": S, "chunk": T,
-            "aggregate_fps": round(fps, 1),
-            "ms_per_frame": round(per_iter / frames_per_call * 1e3, 3),
-        }), flush=True)
+                def body(c, p):
+                    states, fr = c
+                    states, outs, metrics = fleet(states, fr, p)
+                    d = (outs.overlay.max() & 1).astype(jnp.uint8)
+                    return (states, fr ^ d)
+
+                # One eager call for the valid fraction the load produces.
+                _, outs0, metrics0 = fleet(states0, frames_d, params)
+                vf = float(np.asarray(metrics0["valid_frames"])
+                           / np.asarray(metrics0["frames"]))
+
+                per_iter, _ = device_time_per_iter(
+                    lambda: (states0, frames_d), body, n_iters=8, repeats=3,
+                    invariant=params)
+                frames_per_call = S * T
+                fps = frames_per_call / per_iter
+                rec = {
+                    "streams": S, "chunk": T,
+                    "schedule": schedule, "load": vname,
+                    "aggregate_fps": round(fps, 1),
+                    "ms_per_frame": round(per_iter / frames_per_call * 1e3,
+                                          3),
+                    "valid_fraction": round(vf, 4),
+                }
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+
+    with open("FLEET_BENCH.json", "w") as f:
+        for rec in results:
+            f.write(json.dumps(rec) + "\n")
+    print("wrote FLEET_BENCH.json", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,5 +1,5 @@
-"""Generate assets/bench_oracle.npz: the live reference's per-frame lane
-coefficients over bench.py's exact frame sequence.
+"""Generate assets/bench_oracle*.npz: the live reference's per-frame lane
+coefficients over bench.py's exact frame sequences.
 
 bench.py cycles 4 corpus frames through a T-frame chunk under the demo1
 parameter set; the north star couples throughput with <0.5 px coefficient
@@ -8,7 +8,16 @@ measure both.  This runs the reference LaneTracker (with the same shims /
 patches the oracle tests use: tests/test_tracker.py) over the identical
 sequence and stores the per-frame raw fit coefficients + validity flags.
 
-Usage: python scripts/make_bench_oracle.py [T]   (default 256)
+Three bench variants, each with its own oracle (round-4 verdict item 4):
+  default             -> assets/bench_oracle.npz       (stills cycle)
+  --fail-every K      -> assets/bench_oracle_failK.npz (every K-th frame
+                         blacked, the BENCH_FAIL_EVERY=K sequence)
+  --motion            -> assets/bench_oracle_motion.npz (the continuous-
+                         motion generator's first T frames, the
+                         BENCH_MOTION=1 sequence)
+
+Usage: python scripts/make_bench_oracle.py [T] [--fail-every K] [--motion]
+(default T=512)
 """
 
 import sys
@@ -31,7 +40,22 @@ from tests.test_tracker import (  # noqa: E402
 NAMES = ["frame911.jpg", "frame971.jpg", "test4.jpg", "straight_lines1.jpg"]
 
 
-def main(T=256):
+def bench_frames(T, fail_every=0, motion=False):
+    """The exact frame sequence bench.py runs for each variant."""
+    if motion:
+        from scripts.motion_longrun import motion_sequence
+
+        return [frame for _, frame in motion_sequence(T)]
+    imgs = [np.asarray(Image.open(f"assets/{n}").convert("RGB"))
+            for n in NAMES]
+    chunk = [np.copy(imgs[t % len(imgs)]) for t in range(T)]
+    if fail_every:
+        for t in range(0, T, fail_every):
+            chunk[t] = np.zeros_like(chunk[t])
+    return chunk
+
+
+def main(T=512, fail_every=0, motion=False):
     import importlib.util
 
     from lane_tracker_tpu.calib.io import load_calibration_npz
@@ -52,26 +76,36 @@ def main(T=256):
     _patch_validity(ref, PRESETS["demo1"].validity)
     _cache_ref_filter(ref)
 
-    imgs = [np.asarray(Image.open(f"assets/{n}").convert("RGB"))
-            for n in NAMES]
+    frames = bench_frames(T, fail_every=fail_every, motion=motion)
     left = np.zeros((T, 3))
     right = np.zeros((T, 3))
     valid = np.zeros(T, bool)
     with _numpy_2017_shims():
-        for t in range(T):
-            ref.process(np.copy(imgs[t % len(imgs)]), **DEMO1_KW)
+        for t, frame in enumerate(frames):
+            ref.process(np.copy(frame), **DEMO1_KW)
             valid[t] = bool(ref.valid_lane_lines)
             if valid[t]:
                 left[t] = np.asarray(ref.last_left_coeffs, float)
                 right[t] = np.asarray(ref.last_right_coeffs, float)
+    name = ("assets/bench_oracle_motion.npz" if motion
+            else f"assets/bench_oracle_fail{fail_every}.npz" if fail_every
+            else "assets/bench_oracle.npz")
     np.savez_compressed(
-        "assets/bench_oracle.npz",
-        left=left, right=right, valid=valid,
+        name, left=left, right=right, valid=valid,
         names=np.asarray(NAMES), preset=np.asarray("demo1"),
     )
-    print(f"wrote assets/bench_oracle.npz: T={T}, "
-          f"valid={int(valid.sum())}/{T}")
+    print(f"wrote {name}: T={T}, valid={int(valid.sum())}/{T}")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256)
+    args = sys.argv[1:]
+    T, fail_every, motion = 512, 0, False
+    while args:
+        a = args.pop(0)
+        if a == "--fail-every":
+            fail_every = int(args.pop(0))
+        elif a == "--motion":
+            motion = True
+        else:
+            T = int(a)
+    main(T, fail_every=fail_every, motion=motion)

@@ -51,7 +51,11 @@ def test_lab_shapes_and_dtype():
 
 
 def test_lab_b_fast_close_to_exact(test_frame, rng):
-    """Arithmetic LAB (fast path) vs the bit-exact LUT pipeline."""
+    """Arithmetic LAB (fast path) vs the bit-exact LUT pipeline.
+
+    Since round 4 the gamma stage is rint-exact (polynomial, see
+    test_lab_gamma_poly_exhaustive); the only remaining deviation is
+    cbrt's rare boundary rounding — the original tolerance contract."""
     from lane_tracker_tpu.ops.color import rgb2lab_b_fast
 
     for img in (test_frame, rng.integers(0, 256, (300, 400, 3), np.uint8)):
@@ -60,3 +64,20 @@ def test_lab_b_fast_close_to_exact(test_frame, rng):
         diff = np.abs(exact - fast)
         assert diff.max() <= 1
         assert (diff != 0).mean() < 1e-3
+
+
+def test_lab_gamma_poly_exhaustive():
+    """The fast path's polynomial gamma must reproduce the integer LUT
+    EXACTLY on every reachable input, under jit on this backend (the
+    LP-certified margin makes this FMA-contraction-proof; see
+    _gamma_poly).  scripts/zono_bench.py re-runs the same exhaustive
+    check on the real TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from lane_tracker_tpu.ops.color import _gamma_poly_f32, _tables
+
+    gamma_tab, _, _ = _tables()
+    i = jnp.arange(256, dtype=jnp.float32)
+    got_g = np.asarray(jax.jit(_gamma_poly_f32)(i)).astype(np.int64)
+    np.testing.assert_array_equal(got_g, gamma_tab)

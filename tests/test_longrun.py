@@ -199,13 +199,17 @@ def test_long_sequence_success_ratio_parity(ref_process_module, calib, pipeline)
 
 
 @pytest.mark.slow
-def test_motion_segment_parity(ref_process_module, calib):  # noqa: F811
-    """Continuous-MOTION parity (round-2 verdict #7): a 60-frame smoothly
-    panned/rotated/zoomed segment (every frame unique, so band search
-    tracks real movement) through both the live reference and the chunked
-    fast pipeline; per-frame traces must match exactly.  The full
-    1,200-frame version is scripts/motion_longrun.py (results recorded in
-    docs/PERFORMANCE.md)."""
+@pytest.mark.parametrize("generator", ["motion", "curve"])
+def test_motion_segment_parity(ref_process_module, calib, generator):  # noqa: F811
+    """Continuous-MOTION parity (round-2 verdict #7; evolving curvature
+    round-4 item 6): a 60-frame segment (every frame unique, so band
+    search tracks real movement) through both the live reference and the
+    chunked fast pipeline; per-frame traces must match exactly.  The
+    'curve' generator additionally sweeps apparent lane curvature with a
+    time-varying quadratic shear, so the fitted polynomial DRIFTS across
+    the warm frames — the momentum/bandwidth regime rigid jitter cannot
+    reach.  Full 1,200-frame versions: scripts/motion_longrun.py
+    [--curve] (results recorded in docs/PERFORMANCE.md)."""
     import importlib.util
     import pathlib
 
@@ -216,21 +220,25 @@ def test_motion_segment_parity(ref_process_module, calib):  # noqa: F811
         pathlib.Path(__file__).parent.parent / "scripts" / "motion_longrun.py")
     motion = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(motion)
+    sequence = (motion.curve_sequence if generator == "curve"
+                else motion.motion_sequence)
 
     n = 60
     ref_lt = _make_ref_tracker(ref_process_module, calib)
     _band_patch(ref_lt)
     _patch_validity(ref_lt, PRESETS["demo1"].validity)
-    ref_valid, ref_detected = [], []
+    ref_valid, ref_detected, ref_quad = [], [], []
     with _numpy_2017_shims():
-        for _, frame in motion.motion_sequence(n):
+        for _, frame in sequence(n):
             ref_lt.process(np.copy(frame), **DEMO1_KW)
             ref_valid.append(bool(ref_lt.valid_lane_lines))
             ref_detected.append(bool(ref_lt.detected_pixels))
+            if ref_valid[-1]:
+                ref_quad.append(float(ref_lt.last_left_coeffs[0]))
 
     tpu = _make_tpu_tracker(calib, validity=PRESETS["demo1"].validity,
                             pipeline="fast")
-    frames = np.stack([f for _, f in motion.motion_sequence(n)])
+    frames = np.stack([f for _, f in sequence(n)])
     outs = tpu.process_chunk(frames, with_overlay=False, **DEMO1_KW)
     my_valid = [bool(v) for v in np.asarray(outs.valid)]
     my_detected = [bool(v) for v in np.asarray(outs.detected)]
@@ -241,3 +249,8 @@ def test_motion_segment_parity(ref_process_module, calib):  # noqa: F811
         ref_lt.get_success_ratio()[1:])
     # The segment must actually run warm (band search on moving content).
     assert sum(ref_valid[1:]) >= n // 2
+    if generator == "curve":
+        # The whole point: the fitted quadratic must drift substantially
+        # within the segment while every decision still matches.
+        drift = max(ref_quad) - min(ref_quad)
+        assert drift > 0.5 * abs(np.median(ref_quad) or 1e-4), drift
