@@ -1135,8 +1135,9 @@ def filter_stage_v2(
 def _merge_open_kernel(
     r_hbm, b_hbm, k_hbm, out_ref, sr, sb, sk, w0, w1, acc, dacc, sem3,
     *, block, halo, mv, mx, h_img, w_img, cols, has_keep, dtype,
-    tri_ref=None, pref_ref=None, kp=0, shift=0,
+    morph=None, tri_ref=None, pref_ref=None, kp=0, shift=0,
 ):
+    morph = morph or _morph
     tf = pl.program_id(0)
     i = pl.program_id(1)
     in_rows = sr.shape[0] - 2 * mv
@@ -1168,8 +1169,8 @@ def _merge_open_kernel(
 
     r = 2  # ellipse-5 radius
     e_lo, e_n = mv + r, block + 2 * r
-    _morph(_read_of(dacc), w0, w1, acc, 5, jnp.minimum, 255,
-           mx, w, e_lo, e_n, mv, in_rows)
+    morph(_read_of(dacc), w0, w1, acc, 5, jnp.minimum, 255,
+          mx, w, e_lo, e_n, mv, in_rows)
 
     shape = (e_n, sr.shape[1])
     rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -1181,8 +1182,8 @@ def _merge_open_kernel(
     acc[e_lo:e_lo + e_n, :] = jnp.where(
         in_img, acc[e_lo:e_lo + e_n, :], jnp.asarray(0, dtype))
 
-    _morph(_read_of(acc), w0, w1, dacc, 5, jnp.maximum, 0,
-           mx, w, mv + 2 * r, block, e_lo, e_n)
+    morph(_read_of(acc), w0, w1, dacc, 5, jnp.maximum, 0,
+          mx, w, mv + 2 * r, block, e_lo, e_n)
 
     s = mv + 2 * r
     out_ref[0, :, mx:mx + w] = (
@@ -1234,7 +1235,8 @@ def _tri_pad_np(w_img: int, kp: int):
 
 def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
                        emit_prefixes: bool = False,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       morph_impl: str = "rowrun"):
     """Channel merge (+ optional noise keep-mask AND) followed by the 5x5
     elliptical open (lane_tracker.py:234-238), fused in one kernel.
 
@@ -1282,7 +1284,7 @@ def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
     static = dict(
         block=int(block), halo=int(halo), mv=int(mv), mx=int(mx),
         h_img=int(H), w_img=int(W), cols=int(cols), has_keep=has_keep,
-        dtype=dtype,
+        dtype=dtype, morph=_morph_zono if morph_impl == "zono" else _morph,
     )
     scratch = [
         pltpu.VMEM((rows, cols), jnp.uint8),   # sr
@@ -1350,8 +1352,9 @@ def _thr_merge_open_kernel(
     w0, w1, acc, dacc, sem3,
     *, block, halo, mv, mx, h_img, w_img, cols, has_keep, dtype,
     kb, Cb, n_out, mv_j, vk_j,
-    tri_ref=None, pref_ref=None, kp=0, shift=0,
+    morph=None, tri_ref=None, pref_ref=None, kp=0, shift=0,
 ):
+    morph = morph or _morph
     """Merge+open with the B threshold computed IN-kernel from the tophat
     image: thr(kb, Cb) of b_hbm -> merged with r/keep -> 5x5 open
     [-> packed prefixes].
@@ -1428,8 +1431,8 @@ def _thr_merge_open_kernel(
     # ---- 5x5 elliptical open of the merged binary (as merge_open) ----
     r = 2
     e_lo, e_n = mv + r, block + 2 * r
-    _morph(_read_of(dacc), w0, w1, acc, 5, jnp.minimum, 255,
-           mx, w, e_lo, e_n, mv, in_rows)
+    morph(_read_of(dacc), w0, w1, acc, 5, jnp.minimum, 255,
+          mx, w, e_lo, e_n, mv, in_rows)
     shape = (e_n, sr.shape[1])
     rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -1439,8 +1442,8 @@ def _thr_merge_open_kernel(
     )
     acc[e_lo:e_lo + e_n, :] = jnp.where(
         in_img, acc[e_lo:e_lo + e_n, :], jnp.asarray(0, dtype))
-    _morph(_read_of(acc), w0, w1, dacc, 5, jnp.maximum, 0,
-           mx, w, mv + 2 * r, block, e_lo, e_n)
+    morph(_read_of(acc), w0, w1, dacc, 5, jnp.maximum, 0,
+          mx, w, mv + 2 * r, block, e_lo, e_n)
     s = mv + 2 * r
     out_ref[0, :, mx:mx + w] = (
         dacc[s:s + block, mx:mx + w].astype(jnp.int32).astype(jnp.uint8))
@@ -1471,7 +1474,8 @@ def _thr_merge_open_pref_kernel(r_hbm, b_hbm, k_hbm, uh_ref, vb_ref, tri_ref,
 def thr_merge_open_pallas2(r_th, b_feat, kb, Cb, keep=None, *,
                            block: int | None = None,
                            emit_prefixes: bool = False,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           morph_impl: str = "rowrun"):
     """merge_open_pallas2 with the B threshold fused in: takes the B
     TOPHAT image and computes ``bilateral_threshold_pallas2(b_feat, kb,
     Cb)`` in-kernel before the merge — bit-exact with the unfused pair,
@@ -1534,6 +1538,7 @@ def thr_merge_open_pallas2(r_th, b_feat, kb, Cb, keep=None, *,
         h_img=int(H), w_img=int(W), cols=int(cols), has_keep=has_keep,
         dtype=dtype, kb=kb, Cb=int(Cb), n_out=int(n_out), mv_j=int(mv_j),
         vk_j=int(vk_j),
+        morph=_morph_zono if morph_impl == "zono" else _morph,
     )
     scratch = [
         pltpu.VMEM((rows, cols), jnp.uint8),     # sr

@@ -12,11 +12,27 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import pathlib
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import pathlib
+# Persistent XLA compilation cache (round-4 verdict item 8): the suite is
+# compile-dominated on the CPU backend (test_parallel's tiny-geometry
+# chunk_process variants alone cost ~15 min of XLA time), and the traced
+# programs are identical run to run, so repeat suite runs hit the disk
+# cache and skip compilation entirely. Keyed by HLO hash — a code change
+# that alters the traced program misses the cache and recompiles, so this
+# is correctness-neutral. Set LT_JAX_CACHE_DIR=off to disable.
+_CACHE_DIR = os.environ.get(
+    "LT_JAX_CACHE_DIR",
+    str(pathlib.Path(__file__).resolve().parent / ".jax_cache"),
+)
+if _CACHE_DIR != "off":
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest

@@ -150,6 +150,13 @@ def test_merge_open_kernel_bit_exact(channels):
     got2 = np.asarray(merge_open_pallas2(r_th, b_th, keep, interpret=True))
     np.testing.assert_array_equal(got2, want2)
 
+    # morph_impl='zono' is a measured dead end at k=5 (scripts/
+    # zono_bench2.py: the 4-statement chain's serial latency loses to the
+    # row-run tree) but stays available and must stay exact.
+    got3 = np.asarray(merge_open_pallas2(r_th, b_th, keep, interpret=True,
+                                         morph_impl="zono"))
+    np.testing.assert_array_equal(got3, want2)
+
 
 def test_adaptive_mean_kernel_bit_exact(channels):
     from lane_tracker_tpu.kernels.filter_stage2 import (
