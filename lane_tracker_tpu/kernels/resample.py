@@ -114,7 +114,7 @@ def _pack_2x2(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def bilinear_gather_pair(
-    a: jnp.ndarray, b: jnp.ndarray, grid: ResampleGrid
+    a: jnp.ndarray, b: jnp.ndarray, grid: ResampleGrid, bias_b=None
 ) -> tuple:
     """Resample TWO single-channel images through the same grid with half
     the gathers: each uint32 word packs the horizontal byte pair of both
@@ -123,6 +123,13 @@ def bilinear_gather_pair(
     the last row, so base + W is always in range).
 
     Exactly the taps and weights of two bilinear_gather calls.
+
+    bias_b: optional f32 map (dst shape) added to channel b's accumulator
+    before rounding (float-weight grids only).  Used by the 'turbo'
+    pipeline to restore the out-of-image fill value of a non-zero-coded
+    channel: out-of-bounds taps carry weight 0, so a channel whose
+    "black" encodes as 128 (LAB-B) needs +128*(1 - sum(w)) where the
+    grid samples outside the source.
     """
     H, W = a.shape
     aw = a.astype(jnp.uint32)
@@ -137,7 +144,7 @@ def bilinear_gather_pair(
     def unpack(word, shift):
         return (word >> shift) & 0xFF
 
-    def combine(p00, p01, p10, p11):
+    def combine(p00, p01, p10, p11, bias=None):
         if grid.w00.dtype == jnp.float32:
             acc = (
                 p00.astype(jnp.float32) * grid.w00
@@ -145,7 +152,12 @@ def bilinear_gather_pair(
                 + p10.astype(jnp.float32) * grid.w10
                 + p11.astype(jnp.float32) * grid.w11
             )
+            if bias is not None:
+                acc = acc + bias
             return jnp.clip(jnp.rint(acc), 0, 255).astype(jnp.uint8)
+        if bias is not None:
+            raise NotImplementedError(
+                "bias_b is only supported on float-weight grids")
         acc = (
             p00.astype(jnp.int32) * grid.w00
             + p01.astype(jnp.int32) * grid.w01
@@ -155,7 +167,8 @@ def bilinear_gather_pair(
         return jnp.clip((acc + _ROUND) >> COEF_BITS, 0, 255).astype(jnp.uint8)
 
     out_a = combine(unpack(top, 0), unpack(top, 8), unpack(bot, 0), unpack(bot, 8))
-    out_b = combine(unpack(top, 16), unpack(top, 24), unpack(bot, 16), unpack(bot, 24))
+    out_b = combine(unpack(top, 16), unpack(top, 24), unpack(bot, 16),
+                    unpack(bot, 24), bias=bias_b)
     return out_a, out_b
 
 

@@ -42,7 +42,7 @@ def build_arg_parser():
     p.add_argument(
         "--pipeline",
         default="fast",
-        choices=["fast", "compat"],
+        choices=["fast", "compat", "turbo"],
         help="channel-packed exact two-stage warp (fast) or the "
         "reference-exact LUT chain (compat)",
     )

@@ -25,6 +25,14 @@ def _warped_channels(params, frame):
         und = bilinear_gather(frame, params.grid_und)
         warped = bilinear_gather(und, params.grid_warp)
         return np.asarray(warped[..., 0]), np.asarray(rgb2lab_b_u8(warped))
+    if params.pipeline == "turbo":
+        # Mirror the turbo channel chain exactly (incl. ROI grids).
+        import jax.numpy as jnp
+
+        from lane_tracker_tpu.tracker.step import _warp_channels
+
+        r, b = _warp_channels(jnp.asarray(frame), params)
+        return np.asarray(r), np.asarray(b)
     # 'fast': mirror tracker/step.py exactly — two-stage warp of all three
     # channels, arithmetic LAB on the warped frame.
     from lane_tracker_tpu.ops.color import rgb2lab_b_fast

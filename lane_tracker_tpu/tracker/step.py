@@ -88,9 +88,13 @@ class TrackerParams:
     warped_size: tuple  # (W, H) bird's-eye
     mppv: float
     mpph: float
-    pipeline: str  # 'fast' | 'compat'
+    pipeline: str  # 'fast' | 'compat' | 'turbo'
     raw_roi: tuple = (0, 0)  # raw-frame row range feeding grid_und_roi
     filter_backend: str = "auto"  # 'auto' | 'xla' | 'pallas2'
+    # 'turbo' only: f32 (Hw, Ww) map = 128*(1 - sum(warp weights)) — the
+    # LAB-B out-of-image fill restoration (LAB-B of black is 128, but a
+    # warped channel's out-of-bounds taps carry weight 0).
+    warp_b_bias: jnp.ndarray | None = None
 
     def tree_flatten(self):
         children = (
@@ -101,6 +105,7 @@ class TrackerParams:
             self.unwarp_grid,
             self.fwd_u,
             self.fwd_v,
+            self.warp_b_bias,
         )
         aux = (
             self.img_size,
@@ -115,7 +120,8 @@ class TrackerParams:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        *grids, bias = children
+        return cls(*grids, *aux, warp_b_bias=bias)
 
     @classmethod
     def build(
@@ -137,12 +143,12 @@ class TrackerParams:
             perspective_grid(np.asarray(Minv), warped_size, img_size, mode="float")
         )
         fu, fv = forward_bv_grid(np.asarray(M), img_size, warped_size)
-        if pipeline not in ("compat", "fast"):
+        if pipeline not in ("compat", "fast", "turbo"):
             # The round-2 'mxu' banded matmul warp was demoted to
             # scripts/resample_mxu2.py (slower than the gather path AND
             # tied to the fused resampling map that round-3 corpus
             # testing rejected — post-mortem in that file's docstring).
-            raise ValueError("pipeline must be 'fast' or 'compat'")
+            raise ValueError("pipeline must be 'fast', 'compat' or 'turbo'")
         # Both pipelines use the reference's exact two-stage resampling
         # chain (lane_tracker.py:832-834); they differ in how channels
         # are packed through it and in the render path.
@@ -153,9 +159,15 @@ class TrackerParams:
         )
         g_und_roi = g_warp_roi = None
         raw_roi = (0, int(img_size[1]))
-        if pipeline == "fast":
+        if pipeline in ("fast", "turbo"):
             g_und_roi, g_warp_roi, raw_roi = _roi_grids(
                 und_q, g_warp, img_size)
+        warp_b_bias = None
+        if pipeline == "turbo":
+            wsum = (np.asarray(g_warp_roi.w00) + np.asarray(g_warp_roi.w01)
+                    + np.asarray(g_warp_roi.w10) + np.asarray(g_warp_roi.w11))
+            warp_b_bias = jnp.asarray(
+                128.0 * (1.0 - wsum.astype(np.float32)))
         return cls(
             grid_und=g_und,
             grid_warp=g_warp,
@@ -171,6 +183,7 @@ class TrackerParams:
             pipeline=pipeline,
             raw_roi=raw_roi,
             filter_backend=filter_backend,
+            warp_b_bias=warp_b_bias,
         )
 
 
@@ -279,6 +292,21 @@ def _warp_channels(frame, params: TrackerParams):
     r_u, g_u = bilinear_gather_pair(sub[..., 0], sub[..., 1],
                                     params.grid_und_roi)
     b_u = bilinear_gather(sub[..., 2], params.grid_und_roi)
+    if params.pipeline == "turbo":
+        # 'turbo': MEASURED-APPROXIMATION pipeline (opt-in; quality
+        # measured in scripts/turbo_quality.py, documented in
+        # docs/PERFORMANCE.md).  LAB-B is computed on the undistorted
+        # band (~0.31 MP instead of the 1.19 MP warped frame) and the
+        # stage-2 warp resamples only R + LAB-B as ONE pair gather
+        # (1 packed take instead of pair+single).  Geometry is the
+        # reference's exact two-stage chain; the only deviation vs
+        # 'fast' is interpolate(LAB(x)) instead of LAB(interpolate(x))
+        # across the warp — the reference computes LAB on the warped
+        # frame (lane_tracker.py:832-834, 207-208), and the two differ
+        # by the nonlinearity's Jensen gap on blended edge pixels.
+        lab_u = rgb2lab_b_fast(jnp.stack([r_u, g_u, b_u], axis=-1))
+        return bilinear_gather_pair(r_u, lab_u, params.grid_warp_roi,
+                                    bias_b=params.warp_b_bias)
     r_w, g_w = bilinear_gather_pair(r_u, g_u, params.grid_warp_roi)
     b_w = bilinear_gather(b_u, params.grid_warp_roi)
     lab = rgb2lab_b_fast(jnp.stack([r_w, g_w, b_w], axis=-1))

@@ -38,9 +38,13 @@ class LaneTracker:
             per-demo-video sets documented in tracker_settings.md).
         pipeline: 'fast' (default; the reference's exact two-stage
             resample chain, ROI-cropped, with the Pallas filter kernels —
-            the benched pipeline) or 'compat' (same chain bit-matching
+            the benched pipeline), 'compat' (same chain bit-matching
             the reference's cv2.undistort + cv2.warpPerspective with the
-            XLA filter ops).
+            XLA filter ops), or 'turbo' (opt-in measured approximation:
+            LAB-B computed on the undistorted band and warped as a
+            channel instead of recomputed on the warped frame — quality
+            measured vs the live reference in scripts/turbo_quality.py,
+            documented in docs/PERFORMANCE.md).
     """
 
     def __init__(
