@@ -40,11 +40,14 @@ def main(argv):
     from lane_tracker_tpu.tracker.step import TrackerParams, make_initial_state
     from lane_tracker_tpu.utils.timing import device_time_per_iter
 
+    import os
+
+    pipeline = os.environ.get("FLEET_PIPELINE", "fast")
     cam, warp = load_calibration_npz("assets/calibration.npz")
     params = TrackerParams.build(
         cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
         warp.image_width_height, warp.warped_width_height,
-        warp.mppv, warp.mpph, pipeline="fast",
+        warp.mppv, warp.mpph, pipeline=pipeline,
     )
     config = PRESETS["demo1"]
 
@@ -112,11 +115,15 @@ def main(argv):
                     "ms_per_frame": round(per_iter / frames_per_call * 1e3,
                                           3),
                     "valid_fraction": round(vf, 4),
+                    **({"pipeline": pipeline} if pipeline != "fast" else {}),
                 }
                 results.append(rec)
                 print(json.dumps(rec), flush=True)
 
-    with open("FLEET_BENCH.json", "w") as f:
+    # The 'fast' sweep IS the artifact; non-default pipelines append so
+    # the committed fast rows are never clobbered by a variant run.
+    mode = "w" if pipeline == "fast" else "a"
+    with open("FLEET_BENCH.json", mode) as f:
         for rec in results:
             f.write(json.dumps(rec) + "\n")
     print("wrote FLEET_BENCH.json", flush=True)
