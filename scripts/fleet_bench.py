@@ -121,11 +121,21 @@ def main(argv):
                 print(json.dumps(rec), flush=True)
 
     # The 'fast' sweep IS the artifact; non-default pipelines append so
-    # the committed fast rows are never clobbered by a variant run.
+    # the committed fast rows are never clobbered by a variant run, and a
+    # fast rewrite carries the existing variant rows forward.
+    kept = []
+    if pipeline == "fast":
+        try:
+            with open("FLEET_BENCH.json") as f:
+                kept = [ln for ln in f if json.loads(ln).get("pipeline")]
+        except FileNotFoundError:
+            pass
     mode = "w" if pipeline == "fast" else "a"
     with open("FLEET_BENCH.json", mode) as f:
         for rec in results:
             f.write(json.dumps(rec) + "\n")
+        for ln in kept:
+            f.write(ln)
     print("wrote FLEET_BENCH.json", flush=True)
 
 
