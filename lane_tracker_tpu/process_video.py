@@ -46,6 +46,17 @@ def build_arg_parser():
         help="channel-packed exact two-stage warp (fast) or the "
         "reference-exact LUT chain (compat)",
     )
+    p.add_argument(
+        "--second-attempt",
+        default="two_phase",
+        choices=["two_phase", "cond", "hoist"],
+        help="second-attempt schedule: 'two_phase' (chunk-level conditional "
+        "batched fallback — the steady-state optimum, free when every frame "
+        "tracks), 'cond' (per-frame lax.cond inside the scan), or 'hoist' "
+        "(unconditional — flat cost, fastest when most chunks bear a "
+        "failure; crossover analysis in docs/PERFORMANCE.md). All three "
+        "are pinned bit-identical (tests/test_parallel.py)",
+    )
     p.add_argument("--n-fail", type=int, default=8)
     p.add_argument("--n-reset", type=int, default=4)
     p.add_argument("--n-average", type=int, default=2)
@@ -105,7 +116,8 @@ def run(argv=None):
         )
     sink = None if args.no_output else open_sink(args.output, src.size, src.fps)
 
-    step = build_chunk_processor(config, with_overlay=not args.no_output)
+    step = build_chunk_processor(config, with_overlay=not args.no_output,
+                                 second_attempt=args.second_attempt)
     state = make_initial_state(config, params.warped_size)
     meter = FpsMeter()
     total = valid_total = 0

@@ -89,6 +89,49 @@ def test_cli_end_to_end(tmp_path):
     assert metrics["frames"] == 6
 
 
+def test_cli_second_attempt_schedules_identical(tmp_path):
+    """--second-attempt plumbs through and every schedule is bit-identical.
+
+    The schedule equivalence itself is pinned at the chunk_process level
+    (test_parallel.py); this pins the CLI wiring: the flag reaches
+    build_chunk_processor and output frames/metrics do not depend on it.
+    """
+    import json
+
+    from lane_tracker_tpu.calib.io import save_calibration_npz
+    from lane_tracker_tpu.calib.synthetic import make_synthetic_calibration
+    from lane_tracker_tpu.process_video import run
+
+    cam, warp = make_synthetic_calibration(img_size=(128, 96), warped_size=(96, 128))
+    save_calibration_npz(tmp_path / "calib.npz", cam, warp)
+    frames = _frames(4, H=96, W=128, seed=3)
+    frames[2] = 0  # one dead frame so the second attempt actually fires
+    sink = NpzSink(tmp_path / "in.npz")
+    sink.write(frames)
+    sink.close()
+
+    outs, mets = {}, {}
+    for sched in ("two_phase", "cond", "hoist"):
+        rc = run(
+            [
+                str(tmp_path / "in.npz"),
+                str(tmp_path / f"out_{sched}.npz"),
+                "--calibration", str(tmp_path / "calib.npz"),
+                "--preset", "committed",
+                "--chunk", "4",
+                "--second-attempt", sched,
+                "--metrics-json", str(tmp_path / f"m_{sched}.json"),
+            ]
+        )
+        assert rc == 0
+        with np.load(tmp_path / f"out_{sched}.npz") as z:
+            outs[sched] = z["frames"]
+        mets[sched] = json.loads((tmp_path / f"m_{sched}.json").read_text())
+    for sched in ("cond", "hoist"):
+        np.testing.assert_array_equal(outs["two_phase"], outs[sched])
+        assert mets["two_phase"] == mets[sched]
+
+
 def test_cli_rejects_mismatched_calibration(tmp_path):
     from lane_tracker_tpu.calib.io import save_calibration_npz
     from lane_tracker_tpu.calib.synthetic import make_synthetic_calibration
