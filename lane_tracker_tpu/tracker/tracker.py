@@ -82,6 +82,7 @@ class LaneTracker:
         )
         self._state: TrackerState | None = None
         self._prev_state: TrackerState | None = None
+        self._chunk_fns = {}  # (config, with_overlay, schedule) -> jitted fn
         self.counter = 0
         self.success = 0
         self.last_output = None  # StepOutput of the most recent frame
@@ -335,6 +336,7 @@ class LaneTracker:
         self,
         frames,
         with_overlay=True,
+        second_attempt="two_phase",
         **kwargs,
     ):
         """Throughput API: process a (T, H, W, 3) uint8 chunk of consecutive
@@ -348,6 +350,12 @@ class LaneTracker:
         tunneled TPU backend each ``process`` call pays a ~30-50 ms RTT to
         fetch its scalars; this is the API to serve through (see README
         "Choosing an API").
+
+        ``second_attempt`` selects the fallback schedule ('two_phase' —
+        the benched steady-state optimum — 'cond' or 'hoist'; all three
+        bit-identical, crossover analysis in docs/PERFORMANCE.md).  The
+        built processor is memoized per (config, with_overlay, schedule),
+        so repeated chunks retrace nothing.
 
         Returns the chunk's ``StepOutput`` pytree as host arrays with a
         leading T axis (``overlay`` is None when ``with_overlay=False``).
@@ -375,7 +383,12 @@ class LaneTracker:
         sig.update(kwargs)
         config = self._config_from_kwargs(**sig)
         self._ensure_state(config)
-        fn = build_chunk_processor(config, with_overlay=bool(with_overlay))
+        key = (config, bool(with_overlay), str(second_attempt))
+        fn = self._chunk_fns.get(key)
+        if fn is None:
+            fn = self._chunk_fns[key] = build_chunk_processor(
+                config, with_overlay=bool(with_overlay),
+                second_attempt=str(second_attempt))
         frames = np.ascontiguousarray(np.asarray(frames, dtype=np.uint8))
         if frames.ndim != 4:
             raise ValueError("process_chunk expects a (T, H, W, 3) batch")

@@ -293,6 +293,8 @@ def test_process_chunk_matches_process(calib):
 
     outs = lt_chunk.process_chunk(frames[:3], **kw)
     outs2 = lt_chunk.process_chunk(frames[3:], **kw)  # state carries over
+    # Same kwargs -> ONE memoized processor (repeat chunks retrace nothing).
+    assert len(lt_chunk._chunk_fns) == 1
     valid = np.concatenate([np.asarray(outs.valid), np.asarray(outs2.valid)])
     radius = np.concatenate([np.asarray(outs.radius), np.asarray(outs2.radius)])
     ecc = np.concatenate([np.asarray(outs.ecc), np.asarray(outs2.ecc)])
