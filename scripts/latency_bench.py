@@ -1,0 +1,94 @@
+"""Serving latency vs throughput: the chunk-size trade, measured.
+
+The T=512 headline chunk is a throughput configuration: a frame entering
+an empty chunk waits up to T frame-arrivals for the chunk to fill plus
+one chunk-compute time before its overlay exists.  Latency-sensitive
+serving uses smaller chunks at some fps cost (per-chunk scan setup and
+scheduling stop amortizing).  PERFORMANCE.md used to *reason* about that
+trade; this script measures it: one row per chunk size T with honest
+device throughput (utils/timing.py protocol) and the compute component
+of latency (per-chunk device time — the queueing component T/fps_source
+is a property of the camera rate, not the chip).
+
+Results are written to LATENCY_BENCH.json at the repo root (the
+committed artifact), one JSON line per T.
+
+Usage: nohup python scripts/latency_bench.py [T ...] > /tmp/latency.log &
+"""
+
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main(argv):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from lane_tracker_tpu.calib.io import load_calibration_npz
+    from lane_tracker_tpu.parallel.pipeline import (
+        build_chunk_processor,
+        chunk_process,
+    )
+    from lane_tracker_tpu.tracker.config import PRESETS
+    from lane_tracker_tpu.tracker.step import TrackerParams, make_initial_state
+    from lane_tracker_tpu.utils.timing import device_time_per_iter
+
+    cam, warp = load_calibration_npz("assets/calibration.npz")
+    params = TrackerParams.build(
+        cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
+        warp.image_width_height, warp.warped_width_height,
+        warp.mppv, warp.mpph, pipeline="fast",
+    )
+    config = PRESETS["demo1"]
+
+    names = ["frame911.jpg", "frame971.jpg", "test4.jpg",
+             "straight_lines1.jpg"]
+    imgs = [np.asarray(Image.open(f"assets/{n}").convert("RGB"))
+            for n in names]
+
+    sizes = [int(a) for a in argv] or [1, 4, 16, 64, 256, 512]
+    results = []
+    for T in sizes:
+        chunk = np.stack([imgs[i % len(imgs)] for i in range(T)])
+        chunk_d = jax.device_put(chunk)
+        step = build_chunk_processor(config, with_overlay=True,
+                                     second_attempt="two_phase")
+        state = make_initial_state(config, params.warped_size)
+        state, outs = step(state, chunk_d, params)  # compile + sanity
+        assert bool(np.asarray(outs.valid).all()), f"tracking failed at T={T}"
+
+        def body(carry, p):
+            st, ch = carry
+            st, outs = chunk_process(st, ch, p, config, True,
+                                     second_attempt="two_phase")
+            dep = (jnp.max(outs.overlay) & 1).astype(jnp.uint8)
+            return (st, ch ^ dep)
+
+        # Scale chained iterations so small-T runs accumulate enough
+        # device time to dominate the round-trip-subtraction noise.
+        n_iters = int(min(512, max(16, 2048 // T)))
+        per_chunk, _ = device_time_per_iter(
+            lambda: (state, chunk_d), body, n_iters=n_iters, repeats=3,
+            invariant=params)
+        rec = {
+            "chunk": T,
+            "fps": round(T / per_chunk, 1),
+            "ms_per_frame": round(per_chunk / T * 1e3, 3),
+            "chunk_compute_ms": round(per_chunk * 1e3, 3),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    with open("LATENCY_BENCH.json", "w") as f:
+        for rec in results:
+            f.write(json.dumps(rec) + "\n")
+    print("wrote LATENCY_BENCH.json", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
