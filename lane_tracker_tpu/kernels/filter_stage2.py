@@ -230,16 +230,21 @@ def _morph_zono(base_read, work0, work1, acc, ksize, op, neutral,
     # ---- phase 1: residual runs into acc ----
     acc_started = False
     if runs:
-        need_pair = any(hi - lo + 1 >= 2 for _, lo, hi in runs)
+        pair_runs = [rn for rn in runs if rn[2] - rn[1] + 1 >= 2]
         pair = None
-        if need_pair:
+        if pair_runs:
             # g2(y, x) = op(base(y, x), base(y, x+1)) over the union of
-            # the runs' read reach.
-            dys = [dy for dy, _, _ in runs]
+            # the PAIR reads' reach: length-1 runs read base directly,
+            # and pair reads stop at x = hi - 1, so the pair's last
+            # column is mx + w + hi - 2 and its base reads stay within
+            # the contract's r-expanded columns even when hi == r
+            # (round-4 advisor: the former full-run range read one
+            # column past the contract at hi == r).
+            dys = [dy for dy, _, _ in pair_runs]
             p_lo = row_lo + min(dys)
             p_n = row_n + max(dys) - min(dys)
-            cl = mx + min(lo for _, lo, _ in runs)
-            cr = mx + w + max(hi for _, _, hi in runs)
+            cl = mx + min(lo for _, lo, _ in pair_runs)
+            cr = mx + w + max(hi for _, _, hi in pair_runs) - 1
             assert p_lo >= grow_lo and p_lo + p_n <= grow_lo + grow_n
             assert cl >= 1 and cr <= C - 1, (cl, cr, C)
             work0[p_lo:p_lo + p_n, cl:cr] = op(
@@ -448,6 +453,19 @@ def _tophat_kernel(
     out_ref[0, :, mx:mx + w] = diff.astype(jnp.int32).astype(jnp.uint8)
 
 
+def _morph_of(morph_impl: str):
+    """Resolve a morph_impl name, rejecting typos (round-4 advisor: an
+    unknown string used to silently select the row-run fallback, quietly
+    losing the benched zonotope speedup).  Canonical names: 'zono' (the
+    Minkowski-chain decomposition) and 'rowrun' (the per-run fallback)."""
+    impls = {"zono": _morph_zono, "rowrun": _morph}
+    if morph_impl not in impls:
+        raise ValueError(
+            f"unknown morph_impl {morph_impl!r}; expected one of "
+            f"{sorted(impls)}")
+    return impls[morph_impl]
+
+
 def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
                    interpret: bool = False,
                    morph_impl: str = "zono") -> jnp.ndarray:
@@ -488,7 +506,7 @@ def tophat_pallas2(img: jnp.ndarray, ksize: int, *, block: int | None = None,
         _tophat_kernel,
         ksize=int(ksize), block=int(block), halo=int(halo),
         mv=int(mv), mx=int(mx), h_img=int(H), w_img=int(W), cols=int(cols),
-        dtype=dtype, morph=_morph_zono if morph_impl == "zono" else _morph,
+        dtype=dtype, morph=_morph_of(morph_impl),
     )
     out = pl.pallas_call(
         kernel,
@@ -1049,7 +1067,7 @@ def tophat_riders_pallas2(img, ksize, riders, *, block: int | None = None,
         ksize=ksize, block=int(block), halo=int(halo), mv=int(mv),
         mx=int(mx), h_img=int(H), w_img=int(W), cols=int(cols),
         dtype=dtype, riders=tuple(riders_meta),
-        morph=_morph_zono if morph_impl == "zono" else _morph,
+        morph=_morph_of(morph_impl),
     )
     outs = pl.pallas_call(
         kernel,
@@ -1284,7 +1302,7 @@ def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
     static = dict(
         block=int(block), halo=int(halo), mv=int(mv), mx=int(mx),
         h_img=int(H), w_img=int(W), cols=int(cols), has_keep=has_keep,
-        dtype=dtype, morph=_morph_zono if morph_impl == "zono" else _morph,
+        dtype=dtype, morph=_morph_of(morph_impl),
     )
     scratch = [
         pltpu.VMEM((rows, cols), jnp.uint8),   # sr
@@ -1538,7 +1556,7 @@ def thr_merge_open_pallas2(r_th, b_feat, kb, Cb, keep=None, *,
         h_img=int(H), w_img=int(W), cols=int(cols), has_keep=has_keep,
         dtype=dtype, kb=kb, Cb=int(Cb), n_out=int(n_out), mv_j=int(mv_j),
         vk_j=int(vk_j),
-        morph=_morph_zono if morph_impl == "zono" else _morph,
+        morph=_morph_of(morph_impl),
     )
     scratch = [
         pltpu.VMEM((rows, cols), jnp.uint8),     # sr

@@ -107,20 +107,46 @@ def rgb2lab_u8(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(lab, 0, 255).astype(jnp.uint8)
 
 
-@functools.lru_cache(maxsize=1)
-def _gamma_poly():
-    """A polynomial whose f32-Horner rint reproduces the integer gamma
-    LUT EXACTLY on every reachable input (round-4 verdict item 2).
+# LP-certified gamma polynomial: the unique-per-fit coefficients of a
+# degree-12 Chebyshev-center LP solution (see _fit_gamma_poly) whose
+# f32-Horner rint reproduces the integer gamma LUT EXACTLY on every
+# power-branch input i in [11, 255], with margin 0.021 — an order of
+# magnitude above worst-case f32 Horner noise at the table's 2040 output
+# scale (~13 steps x 1 ulp(2048) ~ 0.003), so the rint is stable under
+# ANY FMA-contraction choice a backend makes.  Baked as constants so the
+# default 'fast' pipeline has no scipy dependency and no process-start
+# refit (round-4 advisor, medium); _fit_gamma_poly keeps the LP for
+# regeneration, and tests/test_color.py re-verifies rint-exactness of
+# THESE constants both in numpy (both FMA orders) and exhaustively
+# under jit.  u = (i - mid) / half, coefficients highest-first.
+_GAMMA_POLY_MID = 133.0
+_GAMMA_POLY_HALF = 122.0
+_GAMMA_POLY_COEFS = (
+    -44.081208940021156,
+    -35.0394862240723,
+    105.81190372931691,
+    86.91622624219376,
+    -88.51931702132121,
+    -76.8666569982063,
+    29.323830599210154,
+    31.640361529067718,
+    -11.53070519185922,
+    56.55635092162949,
+    553.7077317661957,
+    953.1224678867455,
+    478.4792508505659,
+)
+
+
+def _fit_gamma_poly():
+    """Re-derive the LP-certified gamma polynomial (needs scipy).
 
     The sRGB gamma table has only 256 reachable inputs, so instead of
-    approximating the curve (the declined "minimax gamma" trade), we
-    solve the Chebyshev-center LP  max m s.t. |P(i) - gamma_tab[i]| <=
-    0.5 - m  over the power-branch inputs i in [11, 255]: degree 12
-    achieves m = 0.021, an order of magnitude above the worst-case
-    f32 Horner evaluation noise at the table's 2040 output scale
-    (~13 steps x 1 ulp(2048) ~ 0.003), so the rint is stable under ANY
-    FMA-contraction choice a backend makes.  Verified at build time
-    under both evaluation orders; tests pin the property under jit.
+    approximating the curve (the declined "minimax gamma" trade), solve
+    the Chebyshev-center LP  max m s.t. |P(i) - gamma_tab[i]| <= 0.5 - m
+    over the power-branch inputs i in [11, 255]: degree 12 achieves
+    m = 0.021.  Not called on any product path — the result is baked
+    into _GAMMA_POLY_COEFS above; tests re-run this to pin the bake.
 
     (The cube-root table does NOT admit this: its entries sit as close
     as 0.002 to a rounding boundary — LP-certified — while f32 noise at
@@ -151,10 +177,18 @@ def _gamma_poly():
     res = linprog(cobj, A_ub=Aub, b_ub=bub,
                   bounds=[(None, None)] * (deg + 2), method="highs")
     assert res.success and res.x[-1] > 0.015, res
-    coefs = res.x[:-1]
+    return tuple(float(c) for c in res.x[:-1]), float(mid), float(half)
 
-    # Verify rint-exactness under both f32 evaluation orders: plain
-    # mul-then-add and fused multiply-add.
+
+def _verify_gamma_poly(coefs, mid, half):
+    """Assert the polynomial's f32 rint reproduces the gamma table on all
+    power-branch inputs under BOTH evaluation orders (plain mul-then-add
+    and fused multiply-add)."""
+    gamma_tab, _, _ = _tables()
+    i = np.arange(256, dtype=np.float64)
+    mask = i / 255.0 > 0.04045
+    tab = gamma_tab[mask].astype(np.float64)
+    u = (i[mask] - mid) / half
     uf = u.astype(np.float32)
     plain = np.full_like(uf, np.float32(coefs[0]))
     fused = plain.astype(np.float64)
@@ -165,7 +199,14 @@ def _gamma_poly():
         ).astype(np.float64)
     assert (np.rint(plain) == tab).all(), "gamma poly: plain f32 mismatch"
     assert (np.rint(fused) == tab).all(), "gamma poly: fma f32 mismatch"
-    return tuple(float(c) for c in coefs), float(mid), float(half)
+
+
+@functools.lru_cache(maxsize=1)
+def _gamma_poly():
+    """The baked LP-certified polynomial, cheap-verified once per process
+    (numpy only — no scipy on the product path)."""
+    _verify_gamma_poly(_GAMMA_POLY_COEFS, _GAMMA_POLY_MID, _GAMMA_POLY_HALF)
+    return _GAMMA_POLY_COEFS, _GAMMA_POLY_MID, _GAMMA_POLY_HALF
 
 
 def _gamma_poly_f32(img_f32_i):

@@ -79,7 +79,7 @@ def main():
             )[:600]
             print(json.dumps({"stage": name, "error": err}), flush=True)
 
-    for impl in ("runs", "zono"):
+    for impl in ("rowrun", "zono"):
         check(f"tophat29_{impl}",
               lambda x, i=impl: tophat_pallas2(x, 29, morph_impl=i),
               lambda x: tophat_ellipse(x, 29), r0, r_ch)
@@ -91,9 +91,9 @@ def main():
     # and thr65+noise(B); exactness of the tophat output only is asserted
     # here (rider outputs are checked bit-exact by the suite).
     r_feat = jax.block_until_ready(
-        jax.jit(lambda x: tophat_pallas2(x, 29, morph_impl="runs"))(r_ch))
+        jax.jit(lambda x: tophat_pallas2(x, 29, morph_impl="rowrun"))(r_ch))
 
-    for impl in ("runs", "zono"):
+    for impl in ("rowrun", "zono"):
         def riders_fn(b, i=impl, rf=r_feat):
             rsrc = rf[2] if b.ndim == 2 else rf
             return tophat_riders_pallas2(

@@ -81,3 +81,29 @@ def test_lab_gamma_poly_exhaustive():
     i = jnp.arange(256, dtype=jnp.float32)
     got_g = np.asarray(jax.jit(_gamma_poly_f32)(i)).astype(np.int64)
     np.testing.assert_array_equal(got_g, gamma_tab)
+
+
+def test_lab_gamma_poly_bake_matches_lp_fit():
+    """The baked _GAMMA_POLY_COEFS constants must equal a fresh LP fit
+    (the product path carries no scipy dependency — round-4 advisor —
+    so the refit lives here, skipped where scipy is absent) and must
+    pass the both-FMA-orders rint-exactness verification."""
+    from lane_tracker_tpu.ops.color import (
+        _GAMMA_POLY_COEFS,
+        _GAMMA_POLY_HALF,
+        _GAMMA_POLY_MID,
+        _verify_gamma_poly,
+    )
+
+    _verify_gamma_poly(_GAMMA_POLY_COEFS, _GAMMA_POLY_MID, _GAMMA_POLY_HALF)
+
+    pytest.importorskip("scipy")
+    from lane_tracker_tpu.ops.color import _fit_gamma_poly
+
+    coefs, mid, half = _fit_gamma_poly()
+    assert (mid, half) == (_GAMMA_POLY_MID, _GAMMA_POLY_HALF)
+    # The LP solution is solver-dependent in its last digits; the bake
+    # contract is that the FIT's own rint-exactness holds and the baked
+    # coefficients stay within the certified margin of the fit.
+    _verify_gamma_poly(coefs, mid, half)
+    np.testing.assert_allclose(coefs, _GAMMA_POLY_COEFS, rtol=0, atol=1e-6)

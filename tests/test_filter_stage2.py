@@ -233,7 +233,7 @@ def test_tophat_zono_bit_exact(channels):
 
     for img, k in ((r, 29), (b, 55)):
         want = np.asarray(tophat_ellipse(img, k))
-        for impl in ("runs", "zono"):
+        for impl in ("rowrun", "zono"):
             got = np.asarray(
                 tophat_pallas2(img, k, interpret=True, morph_impl=impl))
             np.testing.assert_array_equal(got, want, err_msg=f"{k}/{impl}")

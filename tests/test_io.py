@@ -127,9 +127,13 @@ def test_cli_second_attempt_schedules_identical(tmp_path):
         with np.load(tmp_path / f"out_{sched}.npz") as z:
             outs[sched] = z["frames"]
         mets[sched] = json.loads((tmp_path / f"m_{sched}.json").read_text())
+    # Compare only the deterministic metrics — 'fps' is wall-clock and
+    # only happened to agree while every run fit one (meter-excluded)
+    # chunk (round-4 advisor).
+    det = lambda m: {k: v for k, v in m.items() if k != "fps"}
     for sched in ("cond", "hoist"):
         np.testing.assert_array_equal(outs["two_phase"], outs[sched])
-        assert mets["two_phase"] == mets[sched]
+        assert det(mets["two_phase"]) == det(mets[sched])
 
 
 def test_cli_rejects_mismatched_calibration(tmp_path):
