@@ -53,7 +53,63 @@ def _require_tpu_with_retry():
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+_TRANSPORT_MARKERS = (
+    "UNAVAILABLE",
+    "Connection refused",
+    "Connection Failed",
+    "Connection reset",
+    "transport:",
+    "DEADLINE_EXCEEDED",
+    "Socket closed",
+    "failed to connect",
+)
+
+
+def _is_transport_error(e: BaseException) -> bool:
+    """True for tunnel/transport outages (retryable in a fresh process),
+    False for genuine failures (quality-gate asserts, shape errors, ...)."""
+    s = f"{type(e).__name__}: {e}"
+    return any(m in s for m in _TRANSPORT_MARKERS)
+
+
+def _reexec_with_retry(e: BaseException):
+    """Re-exec a fresh interpreter after a transport outage mid-run.
+
+    Round-4 verdict item 1: the init-path retry (_require_tpu_with_retry)
+    did not cover compile/execute — BENCH_r04.json died rc=1 on a
+    ``remote_compile: Connection refused`` at the first step() call.  The
+    tunnel's outage window is ~an hour (CLAUDE.md), so the mid-run policy
+    is few-but-long: BENCH_RUN_RETRIES (default 6) re-execs,
+    BENCH_RUN_RETRY_SLEEP (default 600 s) apart.  Fresh-process because
+    JAX caches a failed backend for the life of the process.
+    """
+    import os
+
+    tries = int(os.environ.get("BENCH_RUN_RETRIES", "6"))
+    if tries <= 0:
+        raise e
+    pause = float(os.environ.get("BENCH_RUN_RETRY_SLEEP", "600"))
+    print(f"bench run hit a transport outage ({type(e).__name__}); "
+          f"{tries} retries left, sleeping {pause:g}s", file=sys.stderr)
+    time.sleep(pause)
+    os.environ["BENCH_RUN_RETRIES"] = str(tries - 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
+    """Outage-proof wrapper: any transport error anywhere in the measured
+    run (init, compile, execute, fetch) re-execs a fresh process with
+    bounded long backoff; real failures re-raise unchanged."""
+    try:
+        _run()
+    except Exception as e:
+        if _is_transport_error(e):
+            _reexec_with_retry(e)  # execv never returns; raises when out
+            return  # of retries.  Reachable only with execv stubbed.
+        raise
+
+
+def _run():
     import jax
 
     from PIL import Image
@@ -193,8 +249,7 @@ def main():
     valid_frac = float(np.asarray(outs.valid).mean())
 
     dev = jax.devices()[0]
-    print(
-        json.dumps(
+    line = json.dumps(
             {
                 "metric": "1280x720 frames/sec/chip end-to-end process()",
                 "value": round(fps, 1),
@@ -218,7 +273,20 @@ def main():
                 "device": str(dev),
             }
         )
-    )
+    print(line)
+    # Builder-side committed artifact (round-4 verdict item 1: the
+    # headline must live in a tracked machine-readable file, not only in
+    # the driver's capture + docs).  Default-variant runs overwrite
+    # HEADLINE_BENCH.json; variants get suffixed files.
+    import os
+
+    variant = ("motion" if motion else f"fail{fail_every}" if fail_every
+               else "stills")
+    suffix = ("" if variant == "stills" and params.pipeline == "fast"
+              and T == 512 else f"_{params.pipeline}_{variant}_T{T}")
+    if int(os.environ.get("BENCH_NO_ARTIFACT", "0")) == 0:
+        with open(f"HEADLINE_BENCH{suffix}.json", "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -49,3 +49,67 @@ def test_healthy_backend_passes_through(bench_module, monkeypatch):
     sys.modules["jax"].devices = lambda: ["fake-device"]
     assert bench._require_tpu_with_retry() == ["fake-device"]
     assert not calls
+
+
+def test_midrun_transport_error_reexecs(bench_module, monkeypatch):
+    """Round-4 verdict item 1: an UNAVAILABLE raised from compile/execute
+    (not init) must also re-exec, with the long mid-run backoff."""
+    bench, calls = bench_module
+    monkeypatch.setenv("BENCH_RUN_RETRIES", "3")
+    monkeypatch.setenv("BENCH_RUN_RETRY_SLEEP", "0.01")
+
+    def boom_run():
+        raise RuntimeError(
+            "UNAVAILABLE: http://127.0.0.1:8083/remote_compile: transport: "
+            "Connection Failed: Connect error: Connection refused")
+
+    monkeypatch.setattr(bench, "_run", boom_run)
+    bench.main()
+    assert len(calls) == 1
+    assert os.environ["BENCH_RUN_RETRIES"] == "2"
+
+
+def test_midrun_real_failure_reraises(bench_module, monkeypatch):
+    """Quality-gate/logic failures must NOT be retried as outages."""
+    bench, calls = bench_module
+    monkeypatch.setenv("BENCH_RUN_RETRIES", "3")
+
+    def boom_run():
+        raise AssertionError("validity trace diverges from reference")
+
+    monkeypatch.setattr(bench, "_run", boom_run)
+    with pytest.raises(AssertionError, match="diverges"):
+        bench.main()
+    assert not calls
+
+
+def test_midrun_exhausted_retries_reraise(bench_module, monkeypatch):
+    bench, calls = bench_module
+    monkeypatch.setenv("BENCH_RUN_RETRIES", "0")
+
+    def boom_run():
+        raise RuntimeError("UNAVAILABLE: transport: Socket closed")
+
+    monkeypatch.setattr(bench, "_run", boom_run)
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        bench.main()
+    assert not calls
+
+
+def test_transport_classifier():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    yes = [
+        RuntimeError("UNAVAILABLE: remote_compile: Connection refused"),
+        RuntimeError("transport: Socket closed"),
+        OSError("Connection reset by peer"),
+        RuntimeError("DEADLINE_EXCEEDED: remote_execute"),
+    ]
+    no = [
+        AssertionError("validity trace diverges from reference"),
+        ValueError("unknown second_attempt mode 'x'"),
+        FileNotFoundError("assets/bench_oracle.npz"),
+    ]
+    assert all(bench._is_transport_error(e) for e in yes)
+    assert not any(bench._is_transport_error(e) for e in no)
