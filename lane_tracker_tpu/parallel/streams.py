@@ -160,7 +160,29 @@ class StreamFleet:
         n_streams: int,
         mesh=None,
         with_overlay: bool = False,
+        second_attempt: str = "two_phase",
+        auto_crossover: float = 0.81,
+        auto_hysteresis: float = 0.05,
+        auto_alpha: float = 0.25,
     ):
+        """second_attempt: 'two_phase', 'hoist', or 'auto'.
+
+        'auto' (round-4 verdict item 5) tracks the observed
+        poisoned-step probability — the fraction of steps where ANY
+        chip's local batch contains an attempt-1 failure.  The metrics
+        psum puts chips in lockstep, so a step's wall time is the max
+        over chips: one poisoned chip-chunk makes the whole fleet pay
+        two_phase's fallback rate, which is why the indicator is
+        any-over-chips, not the mean.  This is the exact quantity the
+        measured crossover is in (docs/PERFORMANCE.md fleet schedule
+        table: hoist flat at 1.237 ms/frame, two_phase 0.987 clean /
+        1.290 poisoned, crossover P = 0.81); the controller keeps a
+        host-side EMA of the per-step indicator and flips the schedule
+        past the crossover.  Hysteresis keeps a load sitting on the
+        boundary from thrashing; both schedules are bit-exact, so the
+        flip never changes outputs, only cost.  A dead camera (P = 1)
+        now recovers hoist's ~808 fps without operator action.
+        """
         self.params = params
         self.config = config
         self.n_streams = int(n_streams)
@@ -171,7 +193,19 @@ class StreamFleet:
                 f"n_streams={n_streams} must divide over {n_dev} devices"
             )
         self.with_overlay = with_overlay
-        self._fn = build_fleet_processor(config, self.mesh, with_overlay)
+        if second_attempt not in ("two_phase", "hoist", "auto"):
+            raise ValueError(
+                f"unknown second_attempt {second_attempt!r}; expected "
+                "'two_phase', 'hoist', or 'auto'")
+        self._mode = second_attempt
+        self.schedule = ("two_phase" if second_attempt == "auto"
+                         else second_attempt)
+        self._auto_crossover = float(auto_crossover)
+        self._auto_hysteresis = float(auto_hysteresis)
+        self._auto_alpha = float(auto_alpha)
+        self.poison_ema = 0.0
+        self._fn = build_fleet_processor(config, self.mesh, with_overlay,
+                                         second_attempt=self.schedule)
 
         single = make_initial_state(config, params.warped_size)
         states = jax.tree_util.tree_map(
@@ -194,4 +228,28 @@ class StreamFleet:
         self.states, outs, metrics = self._fn(
             self.states, frames, self.params_device
         )
+        if self._mode == "auto":
+            self._auto_update(outs)
         return outs, metrics
+
+    def _auto_update(self, outs):
+        """EMA the observed poisoned-step rate and flip the schedule at
+        the measured crossover (see __init__).  a1_valid is the
+        attempt-1 outcome under BOTH schedules, so the observation is
+        schedule-independent; the fetch is S*T bools per step."""
+        a1 = np.asarray(outs.a1_valid)
+        poisoned = float(not a1.all())
+        self.poison_ema += self._auto_alpha * (poisoned - self.poison_ema)
+        want = self.schedule
+        if (self.schedule == "two_phase"
+                and self.poison_ema > self._auto_crossover):
+            want = "hoist"
+        elif (self.schedule == "hoist"
+              and self.poison_ema
+              < self._auto_crossover - self._auto_hysteresis):
+            want = "two_phase"
+        if want != self.schedule:
+            self.schedule = want
+            self._fn = build_fleet_processor(
+                self.config, self.mesh, self.with_overlay,
+                second_attempt=want)

@@ -82,10 +82,28 @@ def main(argv):
         dead[0] = 0
         variants["dead_stream"] = dead
 
-        for schedule in ("two_phase", "hoist"):
-            fleet = build_fleet_processor(config, mesh, with_overlay=True,
-                                          second_attempt=schedule)
+        for schedule in ("two_phase", "hoist", "auto"):
             for vname, frames in variants.items():
+                resolved = schedule
+                if schedule == "auto":
+                    # Let the EMA controller observe the load and settle
+                    # (round-4 verdict item 5), then time the schedule it
+                    # resolved to: the controller only acts between
+                    # chunks, so steady-state throughput IS the resolved
+                    # static schedule's — the measured row proves the
+                    # resolution matches the better static choice.
+                    from lane_tracker_tpu.parallel.streams import StreamFleet
+
+                    auto_fleet = StreamFleet(
+                        config=config, params=params, n_streams=S,
+                        mesh=mesh, with_overlay=True,
+                        second_attempt="auto")
+                    for _ in range(8):  # EMA(0.25): 1-(0.75)^8 = 0.90 > 0.81
+                        auto_fleet.step(frames)
+                    resolved = auto_fleet.schedule
+                fleet = build_fleet_processor(config, mesh,
+                                              with_overlay=True,
+                                              second_attempt=resolved)
                 frames_d = jax.device_put(frames)
                 single = make_initial_state(config, params.warped_size)
                 states0 = jax.tree_util.tree_map(
@@ -111,6 +129,8 @@ def main(argv):
                 rec = {
                     "streams": S, "chunk": T,
                     "schedule": schedule, "load": vname,
+                    **({"resolved_schedule": resolved}
+                       if schedule == "auto" else {}),
                     "aggregate_fps": round(fps, 1),
                     "ms_per_frame": round(per_iter / frames_per_call * 1e3,
                                           3),

@@ -253,3 +253,86 @@ def test_two_phase_second_attempt_equals_cond(tiny):
         for la, lb in zip(jax.tree_util.tree_leaves((st_a, out_a)),
                           jax.tree_util.tree_leaves((st_b, out_b))):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_fleet_auto_schedule_flips_at_crossover(tiny):
+    """second_attempt='auto' (round-4 verdict item 5): the EMA of the
+    observed poisoned-chunk rate must flip two_phase->hoist under a
+    sustained failure-dense load, flip back under a clean load, and
+    never change outputs (both schedules are bit-exact)."""
+    params, config = tiny
+    config = config.replace(n_tries=2)
+    mesh = stream_mesh(8)
+    fleet = StreamFleet(params, config, n_streams=8, mesh=mesh,
+                        second_attempt="auto", auto_alpha=0.5)
+    assert fleet.schedule == "two_phase" and fleet.poison_ema == 0.0
+
+    black = np.zeros(
+        (8, 2) + tuple(params.img_size[::-1]) + (3,), np.uint8
+    )  # every chip-chunk poisoned: P = 1
+
+    static = StreamFleet(params, config, n_streams=8, mesh=mesh,
+                         second_attempt="two_phase")
+
+    # Sustained failure-dense load: EMA walks 0.5, 0.75, 0.875 -> flips.
+    scheds = []
+    for _ in range(3):
+        outs_a, _ = fleet.step(black)
+        outs_s, _ = static.step(black)
+        np.testing.assert_array_equal(np.asarray(outs_a.valid),
+                                      np.asarray(outs_s.valid))
+        scheds.append(fleet.schedule)
+    assert scheds == ["two_phase", "two_phase", "hoist"], scheds
+    assert fleet.poison_ema > 0.81
+
+    # Clean observations (fed to the controller directly — the tiny
+    # synthetic geometry cannot reliably produce attempt-1-valid frames):
+    # the EMA decays below crossover - hysteresis and flips back.
+    import types
+
+    clean_obs = types.SimpleNamespace(a1_valid=np.ones((8, 2), bool))
+    assert fleet.schedule == "hoist"
+    for _ in range(6):
+        fleet._auto_update(clean_obs)
+    assert fleet.schedule == "two_phase"
+    assert fleet.poison_ema < 0.76
+
+
+def test_fleet_auto_observable_is_any_over_chips(tiny):
+    """The psum lockstep makes a step's cost the MAX over chips, so the
+    poisoned-step indicator is any-over-chips: one dead stream of eight
+    poisons EVERY step and must flip to hoist (FLEET_BENCH.json
+    dead_stream: hoist 808-810 fps vs two_phase 774), while failures
+    intermittent in TIME below the 0.81 crossover must hold two_phase
+    (the clean steps' 0.987 ms rate dominates)."""
+    import types
+
+    params, config = tiny
+    config = config.replace(n_tries=2)
+    mesh = stream_mesh(8)
+    fleet = StreamFleet(params, config, n_streams=8, mesh=mesh,
+                        second_attempt="auto", auto_alpha=0.5)
+    # Spatially-partial but temporally-sustained failure: a dead stream.
+    a1_dead = np.ones((8, 2), bool)
+    a1_dead[3] = False  # chip 3's chunk poisoned -> the whole step is
+    for _ in range(3):
+        fleet._auto_update(types.SimpleNamespace(a1_valid=a1_dead))
+    assert fleet.schedule == "hoist"
+    assert fleet.poison_ema > 0.81
+
+    # Temporally-intermittent failure at 50% of steps: EMA hovers around
+    # 0.5 < crossover - hysteresis -> decays back to two_phase and holds.
+    clean = types.SimpleNamespace(a1_valid=np.ones((8, 2), bool))
+    poisoned = types.SimpleNamespace(a1_valid=a1_dead)
+    for _ in range(4):
+        fleet._auto_update(clean)
+        fleet._auto_update(poisoned)
+    assert fleet.schedule == "two_phase"
+    assert 0.2 < fleet.poison_ema < 0.81
+
+
+def test_fleet_rejects_unknown_schedule(tiny):
+    params, config = tiny
+    with pytest.raises(ValueError, match="second_attempt"):
+        StreamFleet(params, config, n_streams=8, mesh=stream_mesh(8),
+                    second_attempt="typo")
