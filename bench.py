@@ -195,10 +195,10 @@ def _run():
         ov, ol, orr = (oracle["valid"][:n_gate], oracle["left"][:n_gate],
                        oracle["right"][:n_gate])
         mv = np.asarray(outs.valid)[:n_gate]
-        if params.pipeline == "turbo":
-            # 'turbo' is an explicitly-approximate pipeline: decision
-            # divergence is reported data, not an error (the exact
-            # pipelines still hard-assert below).
+        if params.pipeline in ("turbo", "corridor", "half"):
+            # Explicitly-approximate pipelines: decision divergence is
+            # reported data, not an error (the exact pipelines still
+            # hard-assert below).
             n_valid_mismatch = int((mv != ov).sum())
         else:
             assert (mv == ov).all(), "validity trace diverges from reference"

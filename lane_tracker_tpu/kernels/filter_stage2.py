@@ -1110,6 +1110,9 @@ def filter_stage_v2(
     noise_thresh: int = 135,
     emit_prefixes: bool = False,
     interpret: bool = False,
+    tophat_r: int = 29,
+    tophat_b: int = 55,
+    open_k: int = 5,
 ):
     """Bilateral-mode filter stage via the fused channel kernels.
 
@@ -1126,7 +1129,7 @@ def filter_stage_v2(
     variants because bigger blocks trade away cross-grid DMA overlap —
     so the unfused stage kernels remain the production path.
     """
-    r_feat = tophat_pallas2(rgb_r, 29, interpret=interpret)
+    r_feat = tophat_pallas2(rgb_r, tophat_r, interpret=interpret)
     # The R threshold (and the noise keep-mask) ride inside the
     # VPU-bound tophat55 kernel: their inputs are already materialized,
     # so their MXU band dots hide under the morphology sweeps (probe9:
@@ -1134,7 +1137,8 @@ def filter_stage_v2(
     riders = [(r_feat, ksize_r, C_r, -1)]
     if mask_noise:
         riders.append((lab_b, ksize_noise, C_noise, noise_thresh))
-    outs = tophat_riders_pallas2(lab_b, 55, riders, interpret=interpret)
+    outs = tophat_riders_pallas2(lab_b, tophat_b, riders,
+                                 interpret=interpret)
     b_feat, r_th = outs[0], outs[1]
     keep = outs[2] if mask_noise else None
     if ksize_b + 1 <= 64:
@@ -1142,18 +1146,18 @@ def filter_stage_v2(
         # dots overlap the r&keep pre-merge; no th_b HBM round trip).
         return thr_merge_open_pallas2(r_th, b_feat, ksize_b, C_b, keep,
                                       emit_prefixes=emit_prefixes,
-                                      interpret=interpret)
+                                      interpret=interpret, open_k=open_k)
     b_th = bilateral_threshold_pallas2(
         b_feat, ksize_b, C_b, interpret=interpret)
     return merge_open_pallas2(r_th, b_th, keep,
                               emit_prefixes=emit_prefixes,
-                              interpret=interpret)
+                              interpret=interpret, open_k=open_k)
 
 
 def _merge_open_kernel(
     r_hbm, b_hbm, k_hbm, out_ref, sr, sb, sk, w0, w1, acc, dacc, sem3,
     *, block, halo, mv, mx, h_img, w_img, cols, has_keep, dtype,
-    morph=None, tri_ref=None, pref_ref=None, kp=0, shift=0,
+    morph=None, tri_ref=None, pref_ref=None, kp=0, shift=0, open_k=5,
 ):
     morph = morph or _morph
     tf = pl.program_id(0)
@@ -1185,9 +1189,9 @@ def _merge_open_kernel(
         m = jnp.minimum(m, sk[rows, :].astype(jnp.int32).astype(dtype))
     dacc[rows, :] = m  # dacc temporarily holds the merged binary
 
-    r = 2  # ellipse-5 radius
+    r = open_k // 2  # opening-SE radius (5x5 in the reference)
     e_lo, e_n = mv + r, block + 2 * r
-    morph(_read_of(dacc), w0, w1, acc, 5, jnp.minimum, 255,
+    morph(_read_of(dacc), w0, w1, acc, open_k, jnp.minimum, 255,
           mx, w, e_lo, e_n, mv, in_rows)
 
     shape = (e_n, sr.shape[1])
@@ -1200,7 +1204,7 @@ def _merge_open_kernel(
     acc[e_lo:e_lo + e_n, :] = jnp.where(
         in_img, acc[e_lo:e_lo + e_n, :], jnp.asarray(0, dtype))
 
-    morph(_read_of(acc), w0, w1, dacc, 5, jnp.maximum, 0,
+    morph(_read_of(acc), w0, w1, dacc, open_k, jnp.maximum, 0,
           mx, w, mv + 2 * r, block, e_lo, e_n)
 
     s = mv + 2 * r
@@ -1254,7 +1258,8 @@ def _tri_pad_np(w_img: int, kp: int):
 def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
                        emit_prefixes: bool = False,
                        interpret: bool = False,
-                       morph_impl: str = "rowrun"):
+                       morph_impl: str = "rowrun",
+                       open_k: int = 5):
     """Channel merge (+ optional noise keep-mask AND) followed by the 5x5
     elliptical open (lane_tracker.py:234-238), fused in one kernel.
 
@@ -1272,7 +1277,7 @@ def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
         b_th = b_th[None]
         keep = keep[None] if keep is not None else None
     T, H, W = r_th.shape
-    halo = 4
+    halo = 2 * (open_k // 2)
     if block is None:
         block = _round_up(-(-H // 3), 8)
     grid = -(-H // block)
@@ -1302,7 +1307,7 @@ def merge_open_pallas2(r_th, b_th, keep=None, *, block: int | None = None,
     static = dict(
         block=int(block), halo=int(halo), mv=int(mv), mx=int(mx),
         h_img=int(H), w_img=int(W), cols=int(cols), has_keep=has_keep,
-        dtype=dtype, morph=_morph_of(morph_impl),
+        dtype=dtype, morph=_morph_of(morph_impl), open_k=int(open_k),
     )
     scratch = [
         pltpu.VMEM((rows, cols), jnp.uint8),   # sr
@@ -1370,7 +1375,7 @@ def _thr_merge_open_kernel(
     w0, w1, acc, dacc, sem3,
     *, block, halo, mv, mx, h_img, w_img, cols, has_keep, dtype,
     kb, Cb, n_out, mv_j, vk_j,
-    morph=None, tri_ref=None, pref_ref=None, kp=0, shift=0,
+    morph=None, tri_ref=None, pref_ref=None, kp=0, shift=0, open_k=5,
 ):
     morph = morph or _morph
     """Merge+open with the B threshold computed IN-kernel from the tophat
@@ -1446,10 +1451,10 @@ def _thr_merge_open_kernel(
     dacc[mv:mv + n_out, mx:mx + w] = jnp.maximum(
         dacc[mv:mv + n_out, mx:mx + w], bv)
 
-    # ---- 5x5 elliptical open of the merged binary (as merge_open) ----
-    r = 2
+    # ---- elliptical open of the merged binary (as merge_open) ----
+    r = open_k // 2
     e_lo, e_n = mv + r, block + 2 * r
-    morph(_read_of(dacc), w0, w1, acc, 5, jnp.minimum, 255,
+    morph(_read_of(dacc), w0, w1, acc, open_k, jnp.minimum, 255,
           mx, w, e_lo, e_n, mv, in_rows)
     shape = (e_n, sr.shape[1])
     rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -1460,7 +1465,7 @@ def _thr_merge_open_kernel(
     )
     acc[e_lo:e_lo + e_n, :] = jnp.where(
         in_img, acc[e_lo:e_lo + e_n, :], jnp.asarray(0, dtype))
-    morph(_read_of(acc), w0, w1, dacc, 5, jnp.maximum, 0,
+    morph(_read_of(acc), w0, w1, dacc, open_k, jnp.maximum, 0,
           mx, w, mv + 2 * r, block, e_lo, e_n)
     s = mv + 2 * r
     out_ref[0, :, mx:mx + w] = (
@@ -1493,7 +1498,8 @@ def thr_merge_open_pallas2(r_th, b_feat, kb, Cb, keep=None, *,
                            block: int | None = None,
                            emit_prefixes: bool = False,
                            interpret: bool = False,
-                           morph_impl: str = "rowrun"):
+                           morph_impl: str = "rowrun",
+                           open_k: int = 5):
     """merge_open_pallas2 with the B threshold fused in: takes the B
     TOPHAT image and computes ``bilateral_threshold_pallas2(b_feat, kb,
     Cb)`` in-kernel before the merge — bit-exact with the unfused pair,
@@ -1511,7 +1517,7 @@ def thr_merge_open_pallas2(r_th, b_feat, kb, Cb, keep=None, *,
         b_feat = b_feat[None]
         keep = keep[None] if keep is not None else None
     T, H, W = r_th.shape
-    halo = 4
+    halo = 2 * (open_k // 2)
     if block is None:
         block = _round_up(-(-H // 3), 8)
     grid = -(-H // block)
@@ -1556,7 +1562,7 @@ def thr_merge_open_pallas2(r_th, b_feat, kb, Cb, keep=None, *,
         h_img=int(H), w_img=int(W), cols=int(cols), has_keep=has_keep,
         dtype=dtype, kb=kb, Cb=int(Cb), n_out=int(n_out), mv_j=int(mv_j),
         vk_j=int(vk_j),
-        morph=_morph_of(morph_impl),
+        morph=_morph_of(morph_impl), open_k=int(open_k),
     )
     scratch = [
         pltpu.VMEM((rows, cols), jnp.uint8),     # sr
@@ -1804,12 +1810,13 @@ def neighborhood_stage_v2(
     C_b: int = 5,
     emit_prefixes: bool = False,
     interpret: bool = False,
+    open_k: int = 5,
 ):
     """'neighborhood' filter mode (the hardcoded second attempt,
     lane_tracker.py:1081-1099): adaptive mean thresholds on the RAW
-    channels + merge + 5x5 open, all as stage kernels."""
+    channels + merge + open, all as stage kernels."""
     r_th = adaptive_mean_pallas2(rgb_r, ksize_r, -C_r, interpret=interpret)
     b_th = adaptive_mean_pallas2(lab_b, ksize_b, -C_b, interpret=interpret)
     return merge_open_pallas2(r_th, b_th, None,
                               emit_prefixes=emit_prefixes,
-                              interpret=interpret)
+                              interpret=interpret, open_k=open_k)

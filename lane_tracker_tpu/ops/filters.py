@@ -72,6 +72,9 @@ def filter_lane_points_channels(
     C_noise: int = 10,
     noise_thresh: int = 135,
     backend: str = "auto",
+    tophat_r: int = STREL_RGB_R,
+    tophat_b: int = STREL_LAB_B,
+    open_k: int = STREL_OPEN,
 ) -> jnp.ndarray:
     """Filter stage operating on pre-extracted channels.
 
@@ -99,7 +102,7 @@ def filter_lane_points_channels(
 
         return neighborhood_stage_v2(
             rgb_r, lab_b, ksize_r=ksize_r, C_r=C_r,
-            ksize_b=ksize_b, C_b=C_b,
+            ksize_b=ksize_b, C_b=C_b, open_k=open_k,
         )
     if filter_type == "bilateral" and backend == "pallas2":
         # v2 stage kernels (kernels/filter_stage2.py): VMEM-resident i32,
@@ -119,12 +122,15 @@ def filter_lane_points_channels(
             ksize_noise=ksize_noise,
             C_noise=C_noise,
             noise_thresh=noise_thresh,
+            tophat_r=tophat_r,
+            tophat_b=tophat_b,
+            open_k=open_k,
         )
     if filter_type == "bilateral":
         # Tophat feeds only the bilateral branch (the reference thresholds
         # the *raw* channels in 'neighborhood' mode, lane_tracker.py:216-218).
-        r_feat = tophat_ellipse(rgb_r, STREL_RGB_R)
-        b_feat = tophat_ellipse(lab_b, STREL_LAB_B)
+        r_feat = tophat_ellipse(rgb_r, tophat_r)
+        b_feat = tophat_ellipse(lab_b, tophat_b)
         r_thresh = bilateral_adaptive_threshold(r_feat, ksize=ksize_r, C=C_r)
         b_thresh = bilateral_adaptive_threshold(b_feat, ksize=ksize_b, C=C_b)
     elif filter_type == "neighborhood":
@@ -144,7 +150,7 @@ def filter_lane_points_channels(
         merged = merged & keep
 
     merged_u8 = jnp.where(merged, jnp.uint8(255), jnp.uint8(0))
-    return open_ellipse(merged_u8, STREL_OPEN)
+    return open_ellipse(merged_u8, open_k)
 
 
 def filter_lane_points(

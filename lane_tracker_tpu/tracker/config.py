@@ -34,6 +34,13 @@ class FilterConfig:
     noise_thresh: int = 140
     ksize_noise: int = 65
     C_noise: int = 10
+    # Structuring-element sizes.  The reference hardcodes 29/55/5
+    # (lane_tracker.py:203-205, 234-238); the 'half' measured-
+    # approximation pipeline scales them with the warped resolution
+    # (halve_config below).
+    tophat_r: int = 29
+    tophat_b: int = 55
+    open_k: int = 5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +123,61 @@ SECOND_ATTEMPT = TrackerConfig(
         partial=1.0,
     ),
 )
+
+
+def _odd_half(k: int) -> int:
+    """Scale an odd window/SE size to half resolution: floor-halve, then
+    force odd (OpenCV kernels are odd-sized), floor 3."""
+    return max(3, (k // 2) | 1)
+
+
+def halve_config(cfg: TrackerConfig) -> TrackerConfig:
+    """Scale a TrackerConfig to the 'half' pipeline's half-resolution
+    warped space (round-4 verdict item 2a: the reduced-resolution
+    measured approximation).
+
+    Pixel-denominated knobs halve (window/SE sizes to the nearest odd,
+    px distances exactly); intensity offsets (C_*, noise_thresh),
+    fractions (mu, start_slice, partial), slopes (tangent_thresh —
+    invariant under uniform scaling), and frame-count policies
+    (n_fail/n_reset/n_average/no_success_limit/n_tries) are
+    scale-free and stay put.
+    """
+    f, s, v = cfg.filter, cfg.search, cfg.validity
+    return dataclasses.replace(
+        cfg,
+        filter=dataclasses.replace(
+            f,
+            ksize_r=_odd_half(f.ksize_r),
+            ksize_b=_odd_half(f.ksize_b),
+            ksize_noise=_odd_half(f.ksize_noise),
+            tophat_r=_odd_half(f.tophat_r),
+            tophat_b=_odd_half(f.tophat_b),
+            open_k=_odd_half(f.open_k),
+        ),
+        search=dataclasses.replace(
+            s,
+            window_width=max(1, s.window_width // 2),
+            window_height=max(1, s.window_height // 2),
+            search_range=max(1, s.search_range // 2),
+            ignore_sides=s.ignore_sides // 2,
+            ignore_bottom=s.ignore_bottom // 2,
+            bandwidth=max(1, s.bandwidth // 2),
+        ),
+        validity=dataclasses.replace(
+            v,
+            min_dist_y1=v.min_dist_y1 / 2,
+            max_dist_y1=v.max_dist_y1 / 2,
+            min_dist_y2=v.min_dist_y2 / 2,
+            max_dist_y2=v.max_dist_y2 / 2,
+            min_dist_y3=v.min_dist_y3 / 2,
+            max_dist_y3=v.max_dist_y3 / 2,
+        ),
+    )
+
+
+# The second-attempt set scaled for the 'half' pipeline's warped space.
+SECOND_ATTEMPT_HALF = halve_config(SECOND_ATTEMPT)
 
 
 def _demo(filter_kw, search_kw, validity_kw, n_tries):

@@ -64,7 +64,11 @@ from lane_tracker_tpu.render.lane import (
     lane_overlay_direct,
     lane_region_mask,
 )
-from lane_tracker_tpu.tracker.config import SECOND_ATTEMPT, TrackerConfig
+from lane_tracker_tpu.tracker.config import (
+    SECOND_ATTEMPT,
+    SECOND_ATTEMPT_HALF,
+    TrackerConfig,
+)
 from lane_tracker_tpu.tracker.state import TrackerState, init_state
 
 
@@ -91,6 +95,14 @@ class TrackerParams:
     pipeline: str  # 'fast' | 'compat' | 'turbo'
     raw_roi: tuple = (0, 0)  # raw-frame row range feeding grid_und_roi
     filter_backend: str = "auto"  # 'auto' | 'xla' | 'pallas2'
+    # 'corridor' only: warped columns [x0, x1) the warp/LAB/filter compute
+    # (a measured approximation — docs/PERFORMANCE.md); None = full width.
+    col_roi: tuple | None = None
+    # 'half' only: the warped space is built at 1/res_scale of the
+    # caller's warped_size (scaled M, doubled m/px) — a measured
+    # approximation; configs must be scaled with config.halve_config
+    # (LaneTracker does this automatically).
+    res_scale: int = 1
     # 'turbo' only: f32 (Hw, Ww) map = 128*(1 - sum(warp weights)) — the
     # LAB-B out-of-image fill restoration (LAB-B of black is 128, but a
     # warped channel's out-of-bounds taps carry weight 0).
@@ -115,6 +127,8 @@ class TrackerParams:
             self.pipeline,
             self.raw_roi,
             self.filter_backend,
+            self.col_roi,
+            self.res_scale,
         )
         return children, aux
 
@@ -136,19 +150,44 @@ class TrackerParams:
         mpph,
         pipeline: str = "fast",
         filter_backend: str = "auto",
+        col_roi: tuple | None = None,
     ) -> "TrackerParams":
         img_size = tuple(int(v) for v in img_size)
         warped_size = tuple(int(v) for v in warped_size)
+        res_scale = 1
+        if pipeline == "half":
+            # 'half': MEASURED-APPROXIMATION pipeline (opt-in) — the
+            # whole warped-space chain (warp, LAB, filter, search, fit)
+            # runs at half the warped resolution (round-4 verdict item
+            # 2a).  Implemented as a scaled calibration: the half-res
+            # pixel (x, y) has its center at full-res (2x + 0.5,
+            # 2y + 0.5), so M_h = S @ M with S = [[.5, 0, -.25],
+            # [0, .5, -.25], [0, 0, 1]], meters-per-pixel double, and
+            # every px-denominated config knob halves
+            # (config.halve_config; LaneTracker applies it).  Geometry
+            # is otherwise the reference's exact two-stage chain; the
+            # deviation is resolution, measured in APPROX_BENCH.json.
+            # Internally this behaves as 'fast' at the scaled sizes.
+            res_scale = 2
+            S = np.array([[0.5, 0.0, -0.25],
+                          [0.0, 0.5, -0.25],
+                          [0.0, 0.0, 1.0]])
+            M = S @ np.asarray(M)
+            Minv = np.asarray(Minv) @ np.linalg.inv(S)
+            warped_size = (warped_size[0] // 2, warped_size[1] // 2)
+            mppv = float(mppv) * 2
+            mpph = float(mpph) * 2
         unwarp = ResampleGrid.from_quantized(
             perspective_grid(np.asarray(Minv), warped_size, img_size, mode="float")
         )
         fu, fv = forward_bv_grid(np.asarray(M), img_size, warped_size)
-        if pipeline not in ("compat", "fast", "turbo"):
+        if pipeline not in ("compat", "fast", "turbo", "corridor", "half"):
             # The round-2 'mxu' banded matmul warp was demoted to
             # scripts/resample_mxu2.py (slower than the gather path AND
             # tied to the fused resampling map that round-3 corpus
             # testing rejected — post-mortem in that file's docstring).
-            raise ValueError("pipeline must be 'fast', 'compat' or 'turbo'")
+            raise ValueError("pipeline must be 'fast', 'compat', 'turbo',"
+                             " 'corridor' or 'half'")
         # Both pipelines use the reference's exact two-stage resampling
         # chain (lane_tracker.py:832-834); they differ in how channels
         # are packed through it and in the render path.
@@ -159,9 +198,40 @@ class TrackerParams:
         )
         g_und_roi = g_warp_roi = None
         raw_roi = (0, int(img_size[1]))
-        if pipeline in ("fast", "turbo"):
+        if pipeline in ("fast", "turbo", "corridor", "half"):
             g_und_roi, g_warp_roi, raw_roi = _roi_grids(
                 und_q, g_warp, img_size)
+        if pipeline == "corridor":
+            # 'corridor': MEASURED-APPROXIMATION pipeline (opt-in) — the
+            # column analogue of the row ROI (round-4 verdict item 2b).
+            # The warp/LAB/filter compute only warped columns [x0, x1);
+            # outside the corridor the binary is declared empty.  The
+            # kept columns' channel values are bit-identical to 'fast'
+            # (pure host-side grid cropping: same taps and weights), so
+            # the only deviations are (1) missing candidate pixels
+            # outside the corridor and (2) threshold windows within
+            # ksize/2 of the crop edge seeing neutral margins.  Sizing
+            # evidence: the reference's fitted curves span x in
+            # [420, 760] over the bench + motion oracles, the SWS seed
+            # histogram reads [ignore_sides, W-ignore_sides) = [360,
+            # 720), and band search adds bandwidth <= 30 — the default
+            # [320, 832) leaves >= 70 px of slack on each side.
+            if col_roi is None:
+                col_roi = (320, 832)
+            cx0, cx1 = (int(col_roi[0]), int(col_roi[1]))
+            if not (0 <= cx0 < cx1 <= warped_size[0]):
+                raise ValueError(f"col_roi {col_roi} outside warped width")
+            col_roi = (cx0, cx1)
+            g_warp_roi = dataclasses.replace(
+                g_warp_roi,
+                base=g_warp_roi.base[:, cx0:cx1],
+                w00=g_warp_roi.w00[:, cx0:cx1],
+                w01=g_warp_roi.w01[:, cx0:cx1],
+                w10=g_warp_roi.w10[:, cx0:cx1],
+                w11=g_warp_roi.w11[:, cx0:cx1],
+            )
+        else:
+            col_roi = None
         warp_b_bias = None
         if pipeline == "turbo":
             wsum = (np.asarray(g_warp_roi.w00) + np.asarray(g_warp_roi.w01)
@@ -183,6 +253,8 @@ class TrackerParams:
             pipeline=pipeline,
             raw_roi=raw_roi,
             filter_backend=filter_backend,
+            col_roi=col_roi,
+            res_scale=res_scale,
             warp_b_bias=warp_b_bias,
         )
 
@@ -313,6 +385,46 @@ def _warp_channels(frame, params: TrackerParams):
     return r_w, lab
 
 
+def _embed_cols(binary, params: TrackerParams):
+    """Embed a corridor-cropped binary back into the full warped width
+    (zeros outside [x0, x1)) so the search/fit/validity semantics — and
+    every x coordinate downstream — stay in full warped coordinates."""
+    if params.col_roi is None:
+        return binary
+    x0, x1 = params.col_roi
+    W = params.warped_size[0]
+    pad = [(0, 0)] * (binary.ndim - 1) + [(x0, W - x1)]
+    return jnp.pad(binary, pad)
+
+
+def _embed_prefixes(pref: RowPrefixes, params: TrackerParams) -> RowPrefixes:
+    """Rebase corridor-width packed row prefixes onto the full width.
+
+    The packed word is (x_sum << shift) | count with shift derived from
+    the width (ops/integrals._count_shift), so the corridor's prefixes
+    repack exactly: counts are unchanged, x-sums shift by x0 * count,
+    positions X <= x0 hold 0 and X > x1 hold the row total.  O(H * Wc)
+    int32 work — negligible next to the filter it rides on.
+    """
+    if params.col_roi is None:
+        return pref
+    x0, x1 = params.col_roi
+    W = params.warped_size[0]
+    packed = pref.packed  # (..., H, Wc + 1) int32, corridor-width packing
+    Wc = packed.shape[-1] - 1
+    assert Wc == x1 - x0, (Wc, params.col_roi)
+    shift_c = (Wc + 1).bit_length()
+    shift_f = (W + 1).bit_length()
+    cnt = packed & ((1 << shift_c) - 1)
+    xs = packed >> shift_c
+    repacked = ((xs + x0 * cnt) << shift_f) | cnt
+    pad_left = [(0, 0)] * (packed.ndim - 1) + [(x0, 0)]
+    left = jnp.pad(repacked, pad_left)  # X <= x0: zero pixels before
+    tail = jnp.broadcast_to(
+        repacked[..., -1:], packed.shape[:-1] + (W - x1,))
+    return RowPrefixes(packed=jnp.concatenate([left, tail], axis=-1))
+
+
 def _run_attempt(state: TrackerState, cfg: TrackerConfig, scfg, params,
                  ploty_validity, pref: RowPrefixes, iv_sws
                  ) -> AttemptResult:
@@ -378,8 +490,11 @@ def front_half(frame, params: TrackerParams, config: TrackerConfig):
         C_noise=f1.C_noise,
         noise_thresh=f1.noise_thresh,
         backend=params.filter_backend,
+        tophat_r=f1.tophat_r,
+        tophat_b=f1.tophat_b,
+        open_k=f1.open_k,
     )
-    return r_chan, b_chan, binary1
+    return r_chan, b_chan, _embed_cols(binary1, params)
 
 
 class FrontArtifacts(NamedTuple):
@@ -393,9 +508,15 @@ class FrontArtifacts(NamedTuple):
     iv_sws2: "SearchIntervals | None" = None  # hoisted attempt-2 intervals
 
 
+def _sa_config(params: TrackerParams) -> TrackerConfig:
+    """The hardcoded second-attempt parameter set (lane_tracker.py:
+    1081-1099), scaled when the warped space is (the 'half' pipeline)."""
+    return SECOND_ATTEMPT_HALF if params.res_scale == 2 else SECOND_ATTEMPT
+
+
 def _second_attempt_binary(r_chan, b_chan, params: TrackerParams):
     """The hardcoded second-attempt filter (lane_tracker.py:1081-1099)."""
-    f2 = SECOND_ATTEMPT.filter
+    f2 = _sa_config(params).filter
     return filter_lane_points_channels(
         r_chan,
         b_chan,
@@ -409,6 +530,9 @@ def _second_attempt_binary(r_chan, b_chan, params: TrackerParams):
         C_noise=f2.C_noise,
         noise_thresh=f2.noise_thresh,
         backend=params.filter_backend,
+        tophat_r=f2.tophat_r,
+        tophat_b=f2.tophat_b,
+        open_k=f2.open_k,
     )
 
 
@@ -435,6 +559,8 @@ def _filter_batch(r_chan, b_chan, fcfg, backend, want_prefixes=False):
             mask_noise=fcfg.mask_noise, ksize_noise=fcfg.ksize_noise,
             C_noise=fcfg.C_noise, noise_thresh=fcfg.noise_thresh,
             emit_prefixes=want_prefixes,
+            tophat_r=fcfg.tophat_r, tophat_b=fcfg.tophat_b,
+            open_k=fcfg.open_k,
         )
         return out if want_prefixes else (out, None)
     if (backend == "pallas2" and fcfg.filter_type == "neighborhood"
@@ -448,6 +574,7 @@ def _filter_batch(r_chan, b_chan, fcfg, backend, want_prefixes=False):
             ksize_r=fcfg.ksize_r, C_r=fcfg.C_r,
             ksize_b=fcfg.ksize_b, C_b=fcfg.C_b,
             emit_prefixes=want_prefixes,
+            open_k=fcfg.open_k,
         )
         return out if want_prefixes else (out, None)
     xla_backend = "xla" if backend == "pallas2" else backend
@@ -460,6 +587,8 @@ def _filter_batch(r_chan, b_chan, fcfg, backend, want_prefixes=False):
             mask_noise=fcfg.mask_noise, ksize_noise=fcfg.ksize_noise,
             C_noise=fcfg.C_noise, noise_thresh=fcfg.noise_thresh,
             backend=xla_backend,
+            tophat_r=fcfg.tophat_r, tophat_b=fcfg.tophat_b,
+            open_k=fcfg.open_k,
         )
     )(r_chan, b_chan)
     return binary, None
@@ -470,14 +599,18 @@ def second_attempt_artifacts_batch(r_chan, b_chan, params: TrackerParams):
     'neighborhood' filter (lane_tracker.py:1081-1099) + prefixes + blind
     intervals for a (T, H, W) channel batch."""
     W, H = params.warped_size
-    binary2, pref2 = _filter_batch(r_chan, b_chan, SECOND_ATTEMPT.filter,
+    sa = _sa_config(params)
+    binary2, pref2 = _filter_batch(r_chan, b_chan, sa.filter,
                                    params.filter_backend,
                                    want_prefixes=True)
+    binary2 = _embed_cols(binary2, params)
     if pref2 is None:
         pref2 = jax.vmap(build_row_prefixes)(binary2)
+    else:
+        pref2 = _embed_prefixes(pref2, params)
     iv2 = jax.vmap(lambda b: sliding_window_intervals(
-        sws_precompute(b, SECOND_ATTEMPT.search),
-        SECOND_ATTEMPT.search, H, W))(binary2)
+        sws_precompute(b, sa.search),
+        sa.search, H, W))(binary2)
     return pref2, iv2
 
 
@@ -496,9 +629,12 @@ def front_artifacts_batch(
     r_chan, b_chan = jax.vmap(lambda f: _warp_channels(f, params))(frames)
     binary1, pref = _filter_batch(r_chan, b_chan, config.filter,
                                   params.filter_backend, want_prefixes=True)
+    binary1 = _embed_cols(binary1, params)
     W, H = params.warped_size
     if pref is None:
         pref = jax.vmap(build_row_prefixes)(binary1)
+    else:
+        pref = _embed_prefixes(pref, params)
     iv_sws = jax.vmap(lambda b: sliding_window_intervals(
         sws_precompute(b, config.search), config.search, H, W))(binary1)
     pref2 = iv2 = None
@@ -534,11 +670,13 @@ def front_artifacts(
     r_chan, b_chan, binary1 = front_half(frame, params, config)
     pref2 = iv2 = None
     if hoist_second_attempt and (config.n_tries >= 2 or config.n_tries == -1):
-        binary2 = _second_attempt_binary(r_chan, b_chan, params)
+        binary2 = _embed_cols(_second_attempt_binary(r_chan, b_chan, params),
+                              params)
+        sa = _sa_config(params)
         pref2 = build_row_prefixes(binary2)
         iv2 = sliding_window_intervals(
-            sws_precompute(binary2, SECOND_ATTEMPT.search),
-            SECOND_ATTEMPT.search, H, W)
+            sws_precompute(binary2, sa.search),
+            sa.search, H, W)
     return FrontArtifacts(
         r_chan=r_chan,
         b_chan=b_chan,
@@ -629,7 +767,7 @@ def back_half(
             a2 = _run_attempt(
                 state,
                 config,
-                SECOND_ATTEMPT.search,
+                _sa_config(params).search,
                 params,
                 ploty_validity,
                 art.pref2,
@@ -641,17 +779,20 @@ def back_half(
         else:
 
             def second(_):
-                binary2 = _second_attempt_binary(art.r_chan, art.b_chan, params)
+                binary2 = _embed_cols(
+                    _second_attempt_binary(art.r_chan, art.b_chan, params),
+                    params)
+                sa = _sa_config(params)
                 return _run_attempt(
                     state,
                     config,
-                    SECOND_ATTEMPT.search,
+                    sa.search,
                     params,
                     ploty_validity,
                     build_row_prefixes(binary2),
                     sliding_window_intervals(
-                        sws_precompute(binary2, SECOND_ATTEMPT.search),
-                        SECOND_ATTEMPT.search, H, W),
+                        sws_precompute(binary2, sa.search),
+                        sa.search, H, W),
                 )
 
             a = jax.lax.cond(a1.valid, lambda _: a1, second, None)

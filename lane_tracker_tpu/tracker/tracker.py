@@ -18,6 +18,7 @@ from lane_tracker_tpu.tracker.config import (
     SearchConfig,
     TrackerConfig,
     ValidityConfig,
+    halve_config,
 )
 from lane_tracker_tpu.tracker.state import TrackerState, state_from_npz, state_to_npz
 from lane_tracker_tpu.tracker.step import (
@@ -40,11 +41,15 @@ class LaneTracker:
             resample chain, ROI-cropped, with the Pallas filter kernels —
             the benched pipeline), 'compat' (same chain bit-matching
             the reference's cv2.undistort + cv2.warpPerspective with the
-            XLA filter ops), or 'turbo' (opt-in measured approximation:
-            LAB-B computed on the undistorted band and warped as a
-            channel instead of recomputed on the warped frame — quality
-            measured vs the live reference in scripts/turbo_quality.py,
-            documented in docs/PERFORMANCE.md).
+            XLA filter ops), or one of the opt-in MEASURED-APPROXIMATION
+            pipelines (quality measured vs the live reference with
+            scripts/approx_quality.py, documented in
+            docs/PERFORMANCE.md): 'corridor' (warp/LAB/filter compute
+            only the decision-relevant warped column band), 'half' (the
+            whole warped space at half resolution: scaled calibration,
+            doubled m/px, px-denominated knobs halved automatically), or
+            'turbo' (LAB-B computed on the undistorted band and warped
+            as a channel instead of recomputed on the warped frame).
     """
 
     def __init__(
@@ -91,7 +96,9 @@ class LaneTracker:
 
     def _ensure_state(self, config: TrackerConfig):
         if self._state is None:
-            self._state = make_initial_state(config, self.warped_size)
+            # params.warped_size is the compute-space size ('half' scales
+            # it down from the caller's warped_size).
+            self._state = make_initial_state(config, self.params.warped_size)
 
     def reset(self):
         """Forget all tracking state (fresh stream)."""
@@ -140,7 +147,7 @@ class LaneTracker:
         partial,
         n_tries,
     ) -> TrackerConfig:
-        return TrackerConfig(
+        cfg = TrackerConfig(
             filter=FilterConfig(
                 filter_type=filter_type,
                 ksize_r=int(ksize_r),
@@ -170,12 +177,19 @@ class LaneTracker:
             n_reset=self.n_reset,
             n_average=self.n_average,
         )
+        if self.params.res_scale == 2:
+            # 'half': the caller speaks full-res px; the compute space is
+            # half-res, so px-denominated knobs halve (config.halve_config).
+            cfg = halve_config(cfg)
+        return cfg
 
     def _narrate_validity(self, lc, rc, n_left, n_right, v):
         """Print the reference's exact check_validity diagnostics message
         (lane_tracker.py:596-627), recomputed in closed form from the
         fitted coefficients."""
-        W = self.warped_size[0] if v.y_eval_from_width else self.warped_size[1]
+        # Coefficients live in the compute space ('half' scales it down).
+        ws = self.params.warped_size
+        W = ws[0] if v.y_eval_from_width else ws[1]
         nmin = min(int(n_left), int(n_right))
         y1, y2, y3 = W - 1, W - int(nmin * 0.35), W - int(nmin * 0.75)
         x1, x2, x3 = (

@@ -1,0 +1,110 @@
+"""The 'corridor' measured-approximation pipeline (round-4 verdict item 2:
+the column analogue of the row ROI, tracker/step._roi_grids).
+
+Exactness structure: the kept columns' warped channels are bit-identical
+to 'fast' (host-side grid cropping), the prefix re-embedding is exact by
+construction (tested below), and on content whose lane pixels sit inside
+the corridor the full decision trace matches 'fast' exactly.  The
+content-dependent deviations (candidate pixels outside [x0, x1), edge
+halos) are measured in scripts/approx_quality.py / docs/PERFORMANCE.md.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lane_tracker_tpu.calib.io import load_calibration_npz
+from lane_tracker_tpu.ops.integrals import RowPrefixes, build_row_prefixes
+from lane_tracker_tpu.tracker.config import PRESETS
+from lane_tracker_tpu.tracker.step import (
+    TrackerParams,
+    _embed_prefixes,
+    make_initial_state,
+)
+
+
+def test_embed_prefixes_exact():
+    """Corridor-width packed prefixes rebased to full width must equal
+    prefixes built directly from the zero-padded binary, for every
+    interval read the search can make."""
+    rng = np.random.default_rng(0)
+    H, W, x0, x1 = 16, 640, 192, 448
+    crop = (rng.random((H, x1 - x0)) < 0.3).astype(np.uint8) * 255
+    full = np.zeros((H, W), np.uint8)
+    full[:, x0:x1] = crop
+
+    pref_crop = build_row_prefixes(jnp.asarray(crop))
+
+    class P:
+        col_roi = (x0, x1)
+        warped_size = (W, H)
+
+    embedded = _embed_prefixes(pref_crop, P)
+    direct = build_row_prefixes(jnp.asarray(full))
+    np.testing.assert_array_equal(np.asarray(embedded.packed),
+                                  np.asarray(direct.packed))
+
+
+def test_corridor_params_crop_grids():
+    cam, warp = load_calibration_npz("assets/calibration.npz")
+    p = TrackerParams.build(
+        cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
+        warp.image_width_height, warp.warped_width_height,
+        warp.mppv, warp.mpph, pipeline="corridor",
+    )
+    assert p.col_roi == (320, 832)
+    assert p.grid_warp_roi.base.shape == (1100, 512)
+    with pytest.raises(ValueError, match="col_roi"):
+        TrackerParams.build(
+            cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
+            warp.image_width_height, warp.warped_width_height,
+            warp.mppv, warp.mpph, pipeline="corridor", col_roi=(900, 1200),
+        )
+
+
+@pytest.mark.slow
+def test_corridor_matches_fast_on_nominal_content():
+    """On the bench stills (lanes at x 420-760, well inside [320, 832))
+    the corridor trace must be IDENTICAL to 'fast': same validity,
+    search mode, attempt counts, and fitted coefficients."""
+    from PIL import Image
+
+    from lane_tracker_tpu.parallel.pipeline import chunk_process
+
+    cam, warp = load_calibration_npz("assets/calibration.npz")
+    kw = dict(filter_backend="xla")
+    p_fast = TrackerParams.build(
+        cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
+        warp.image_width_height, warp.warped_width_height,
+        warp.mppv, warp.mpph, pipeline="fast", **kw)
+    p_cor = TrackerParams.build(
+        cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
+        warp.image_width_height, warp.warped_width_height,
+        warp.mppv, warp.mpph, pipeline="corridor", **kw)
+    config = PRESETS["demo1"]
+
+    names = ["frame911.jpg", "frame971.jpg", "test4.jpg",
+             "straight_lines1.jpg"]
+    frames = np.stack([
+        np.asarray(Image.open(f"assets/{n}").convert("RGB")) for n in names
+    ])
+
+    outs = {}
+    for tag, p in (("fast", p_fast), ("corridor", p_cor)):
+        st = make_initial_state(config, p.warped_size)
+        _, o = jax.jit(lambda s, f, pp: chunk_process(
+            s, f, pp, config, True, second_attempt="two_phase"),
+            static_argnames=())(st, frames, p)
+        outs[tag] = o
+
+    for name in ("valid", "detected", "search_mode", "n_attempts",
+                 "left_coeffs", "right_coeffs", "radius", "ecc",
+                 "overlay"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(outs["fast"], name)),
+            np.asarray(getattr(outs["corridor"], name)),
+            err_msg=name,
+        )
+    assert np.asarray(outs["fast"].valid).all()
