@@ -146,9 +146,16 @@ def sws_precompute(binary: jnp.ndarray, cfg: SearchConfig) -> SwsPrecomp:
     y_start = int((1 - cfg.start_slice) * img_height)
     nlevels = sws_nlevels(cfg, H)
 
-    img = (binary > 0).astype(jnp.int32)
+    # Stage the 0/1 image in int8, accumulating reductions in int32 via
+    # the reduce's dtype: under a chunk-wide vmap the staged image is the
+    # program's largest temp (XLA materializes it for the two consumers
+    # below), and int8 prices it at 1 byte/px instead of the s32 cast's 4
+    # — this is what held T=768 chunks 485 MB over HBM (round-4 verdict
+    # item 4; docs/PERFORMANCE.md HBM-wall section).  Exact: values are
+    # 0/1, every sum here is < 2^24.
+    img = (binary > 0).astype(jnp.int8)
 
-    col_sum = jnp.sum(img[y_start:img_height, :], axis=0)
+    col_sum = jnp.sum(img[y_start:img_height, :], axis=0, dtype=jnp.int32)
     # The reference convolves the *sliced* arrays; emulate with static
     # slices so conv indices match its coordinate frame.  Empty slices
     # (tiny geometries) fall through to the fallback centroid like the
@@ -176,11 +183,11 @@ def sws_precompute(binary: jnp.ndarray, cfg: SearchConfig) -> SwsPrecomp:
     n_eff = max(nlevels, 1)
     flipped = img[:img_height][::-1]
     usable = min(n_eff * wh, img_height)
-    bands = jnp.zeros((n_eff, wh, W), jnp.int32)
+    bands = jnp.zeros((n_eff, wh, W), jnp.int8)
     bands = bands.at[: usable // wh].set(
         flipped[: (usable // wh) * wh].reshape(usable // wh, wh, W)
     )
-    conv_all = _full_conv_ones(bands.sum(axis=1), ww)
+    conv_all = _full_conv_ones(bands.sum(axis=1, dtype=jnp.int32), ww)
     return SwsPrecomp(
         left_c0=left_c0,
         left_found0=left_found0,
