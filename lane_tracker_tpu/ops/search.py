@@ -66,6 +66,13 @@ class SearchIntervals(NamedTuple):
     right_centroids: jnp.ndarray
     left_n_centroids: jnp.ndarray  # () i32 — list length after trailing drops
     right_n_centroids: jnp.ndarray
+    # Binary columns [lo, hi) each level's conv reads touched (sliding
+    # window only; empty for band, whose reads ARE the row intervals).
+    # Consumed by the 'corridor' exactness certificate.
+    left_read_lo: jnp.ndarray = None  # (nlevels,) i32
+    left_read_hi: jnp.ndarray = None
+    right_read_lo: jnp.ndarray = None
+    right_read_hi: jnp.ndarray = None
 
 
 class SearchResult(NamedTuple):
@@ -253,21 +260,35 @@ def sliding_window_intervals(
         new_rmax = jnp.where(found, rmax + step, rmax)
         new_diff = jnp.where(found, new_c_found - c, diff)
         new_has = has_diff | found
-        return new_c, new_ns, new_rmin, new_rmax, new_diff, new_has, found, active
+        # Binary columns this level's conv reads actually touched (conv
+        # index p aggregates columns [p-ww+1, p]); inactive levels read
+        # nothing decision-relevant (found is forced False and the
+        # centroid evolves by drift alone), so they report empty.  Used
+        # by the 'corridor' pipeline's exactness certificate
+        # (tracker/step._run_attempt): if every read of every executed
+        # attempt stayed inside the corridor, the frame's whole decision
+        # trace is bit-identical to full-width 'fast' by induction.
+        rd_lo = jnp.where(active, jnp.clip(min_index - (ww - 1), 0, W), W)
+        rd_hi = jnp.where(active, jnp.clip(max_index, 0, W), 0)
+        return (new_c, new_ns, new_rmin, new_rmax, new_diff, new_has,
+                found, active, rd_lo, rd_hi)
 
     def body(carry: _Carry, conv):
-        (lc, lns, lrmin, lrmax, ldiff, lhas, lfound, lactive) = side_update(
+        (lc, lns, lrmin, lrmax, ldiff, lhas, lfound, lactive,
+         lrd_lo, lrd_hi) = side_update(
             conv, carry.lc, carry.lns, carry.lrmin, carry.lrmax, carry.ldiff,
             carry.lhas_diff, carry.rdiff, carry.rhas_diff, carry.rns,
         )
         # Right side sees the left side's CURRENT-level state.
-        (rc, rns, rrmin, rrmax, rdiff, rhas, rfound, ractive) = side_update(
+        (rc, rns, rrmin, rrmax, rdiff, rhas, rfound, ractive,
+         rrd_lo, rrd_hi) = side_update(
             conv, carry.rc, carry.rns, carry.rrmin, carry.rrmax, carry.rdiff,
             carry.rhas_diff, ldiff, lhas, lns,
         )
         new = _Carry(lc, rc, lns, rns, lrmin, lrmax, rrmin, rrmax,
                      ldiff, rdiff, lhas, rhas)
-        return new, (lfound, lc, lactive, rfound, rc, ractive)
+        return new, (lfound, lc, lactive, rfound, rc, ractive,
+                     lrd_lo, lrd_hi, rrd_lo, rrd_hi)
 
     init = _Carry(
         lc=pre.left_c0,
@@ -284,8 +305,20 @@ def sliding_window_intervals(
         rhas_diff=jnp.bool_(False),
     )
     one_true = jnp.ones((1,), jnp.bool_)
+    # Level-0 (seed) reads are the static histogram slices
+    # (sws_precompute: col_sum/conv over [ignore_sides, img_center) and
+    # [img_center, W - ignore_sides)); degenerate slices read nothing.
+    ignore_sides = int(cfg.ignore_sides)
+    img_center = W // 2
+    l0 = ((jnp.asarray([ignore_sides]), jnp.asarray([img_center]))
+          if img_center - ignore_sides > 0
+          else (jnp.asarray([W]), jnp.asarray([0])))
+    r0 = ((jnp.asarray([img_center]), jnp.asarray([W - ignore_sides]))
+          if (W - ignore_sides) - img_center > 0
+          else (jnp.asarray([W]), jnp.asarray([0])))
     if nlevels > 1:
-        _, (lfound, lcent, lactive, rfound, rcent, ractive) = jax.lax.scan(
+        _, (lfound, lcent, lactive, rfound, rcent, ractive,
+            lrd_lo, lrd_hi, rrd_lo, rrd_hi) = jax.lax.scan(
             body, init, pre.conv_all[1:nlevels]
         )
         lfound = jnp.concatenate([pre.left_found0[None], lfound])
@@ -294,6 +327,10 @@ def sliding_window_intervals(
         rfound = jnp.concatenate([pre.right_found0[None], rfound])
         rcent = jnp.concatenate([pre.right_c0[None], rcent])
         ractive = jnp.concatenate([one_true, ractive])
+        lrd_lo = jnp.concatenate([l0[0], lrd_lo])
+        lrd_hi = jnp.concatenate([l0[1], lrd_hi])
+        rrd_lo = jnp.concatenate([r0[0], rrd_lo])
+        rrd_hi = jnp.concatenate([r0[1], rrd_hi])
     else:
         lfound = pre.left_found0[None]
         lcent = pre.left_c0[None]
@@ -301,6 +338,8 @@ def sliding_window_intervals(
         rfound = pre.right_found0[None]
         rcent = pre.right_c0[None]
         ractive = one_true
+        lrd_lo, lrd_hi = l0
+        rrd_lo, rrd_hi = r0
 
     # ---- Per-row intervals from per-level window decisions ----
     ys = jnp.arange(H)
@@ -339,6 +378,10 @@ def sliding_window_intervals(
         right_centroids=rcent,
         left_n_centroids=n_centroids(lactive),
         right_n_centroids=n_centroids(ractive),
+        left_read_lo=lrd_lo.astype(jnp.int32),
+        left_read_hi=lrd_hi.astype(jnp.int32),
+        right_read_lo=rrd_lo.astype(jnp.int32),
+        right_read_hi=rrd_hi.astype(jnp.int32),
     )
 
 
@@ -381,6 +424,11 @@ def band_intervals(
         right_centroids=zeros,
         left_n_centroids=jnp.int32(0),
         right_n_centroids=jnp.int32(0),
+        # Band reads exactly its row intervals; no level reads.
+        left_read_lo=jnp.full((nlevels,), W, jnp.int32),
+        left_read_hi=zeros,
+        right_read_lo=jnp.full((nlevels,), W, jnp.int32),
+        right_read_hi=zeros,
     )
 
 

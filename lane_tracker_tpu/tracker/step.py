@@ -95,9 +95,16 @@ class TrackerParams:
     pipeline: str  # 'fast' | 'compat' | 'turbo'
     raw_roi: tuple = (0, 0)  # raw-frame row range feeding grid_und_roi
     filter_backend: str = "auto"  # 'auto' | 'xla' | 'pallas2'
-    # 'corridor' only: warped columns [x0, x1) the warp/LAB/filter compute
-    # (a measured approximation — docs/PERFORMANCE.md); None = full width.
+    # 'corridor' only: warped columns [x0, x1) whose filter decisions are
+    # kept (a measured approximation — docs/PERFORMANCE.md); None = full
+    # width.
     col_roi: tuple | None = None
+    # 'corridor' only: warped columns [c0, c1) the warp/LAB/filter
+    # actually COMPUTE — col_roi expanded by the filter chain's influence
+    # radius (tophat55 54 + ksize_b 17 + open5 4 = 75 px, padded to 80),
+    # so every kept column's binary value is bit-exact vs full-width
+    # 'fast': its whole influence cone is computed, never neutral-filled.
+    col_comp: tuple | None = None
     # 'half' only: the warped space is built at 1/res_scale of the
     # caller's warped_size (scaled M, doubled m/px) — a measured
     # approximation; configs must be scaled with config.halve_config
@@ -128,6 +135,7 @@ class TrackerParams:
             self.raw_roi,
             self.filter_backend,
             self.col_roi,
+            self.col_comp,
             self.res_scale,
         )
         return children, aux
@@ -204,34 +212,44 @@ class TrackerParams:
         if pipeline == "corridor":
             # 'corridor': MEASURED-APPROXIMATION pipeline (opt-in) — the
             # column analogue of the row ROI (round-4 verdict item 2b).
-            # The warp/LAB/filter compute only warped columns [x0, x1);
-            # outside the corridor the binary is declared empty.  The
-            # kept columns' channel values are bit-identical to 'fast'
-            # (pure host-side grid cropping: same taps and weights), so
-            # the only deviations are (1) missing candidate pixels
-            # outside the corridor and (2) threshold windows within
-            # ksize/2 of the crop edge seeing neutral margins.  Sizing
-            # evidence: the reference's fitted curves span x in
-            # [420, 760] over the bench + motion oracles, the SWS seed
-            # histogram reads [ignore_sides, W-ignore_sides) = [360,
-            # 720), and band search adds bandwidth <= 30 — the default
-            # [320, 832) leaves >= 70 px of slack on each side.
+            # The warp/LAB/filter compute only warped columns [c0, c1) =
+            # [x0 - 80, x1 + 80) and keep decisions in [x0, x1); outside
+            # the corridor the binary is declared empty.  The computed
+            # columns' channel values are bit-identical to 'fast' (pure
+            # host-side grid cropping: same taps and weights), and the
+            # 80 px compute margin exceeds the filter chain's influence
+            # radius (tophat55 erode+dilate 54 + ksize_b=35 window 17 +
+            # open5 4 = 75; the noise mask's 32 and the second attempt's
+            # 21 are smaller), so every KEPT column is bit-exact vs
+            # full-width 'fast' — the margin-0 variant measured 0.757 px
+            # max from edge-halo flips; with the margin the only
+            # deviation left is candidate pixels genuinely outside
+            # [x0, x1).  Sizing evidence: the reference's fitted curves
+            # span x in [420, 760] over the bench + motion oracles, the
+            # SWS seed histogram reads [ignore_sides, W-ignore_sides) =
+            # [360, 720), and band search adds bandwidth <= 30 — the
+            # default [320, 832) leaves >= 70 px of slack on each side.
             if col_roi is None:
                 col_roi = (320, 832)
             cx0, cx1 = (int(col_roi[0]), int(col_roi[1]))
             if not (0 <= cx0 < cx1 <= warped_size[0]):
                 raise ValueError(f"col_roi {col_roi} outside warped width")
             col_roi = (cx0, cx1)
+            margin = 80
+            cc0, cc1 = max(0, cx0 - margin), min(warped_size[0],
+                                                 cx1 + margin)
+            col_comp = (cc0, cc1)
             g_warp_roi = dataclasses.replace(
                 g_warp_roi,
-                base=g_warp_roi.base[:, cx0:cx1],
-                w00=g_warp_roi.w00[:, cx0:cx1],
-                w01=g_warp_roi.w01[:, cx0:cx1],
-                w10=g_warp_roi.w10[:, cx0:cx1],
-                w11=g_warp_roi.w11[:, cx0:cx1],
+                base=g_warp_roi.base[:, cc0:cc1],
+                w00=g_warp_roi.w00[:, cc0:cc1],
+                w01=g_warp_roi.w01[:, cc0:cc1],
+                w10=g_warp_roi.w10[:, cc0:cc1],
+                w11=g_warp_roi.w11[:, cc0:cc1],
             )
         else:
             col_roi = None
+            col_comp = None
         warp_b_bias = None
         if pipeline == "turbo":
             wsum = (np.asarray(g_warp_roi.w00) + np.asarray(g_warp_roi.w01)
@@ -254,6 +272,7 @@ class TrackerParams:
             raw_roi=raw_roi,
             filter_backend=filter_backend,
             col_roi=col_roi,
+            col_comp=col_comp,
             res_scale=res_scale,
             warp_b_bias=warp_b_bias,
         )
@@ -281,6 +300,10 @@ class StepOutput(NamedTuple):
     a1_right_coeffs: jnp.ndarray  # (3,) f32
     a1_n_left: jnp.ndarray  # () i32
     a1_n_right: jnp.ndarray  # () i32
+    # 'corridor' only (constant True otherwise): every search read this
+    # frame's executed attempts made stayed inside the corridor, so the
+    # frame's decision trace is certified bit-identical to 'fast'.
+    corridor_ok: jnp.ndarray = True  # () bool
 
 
 class AttemptResult(NamedTuple):
@@ -291,6 +314,11 @@ class AttemptResult(NamedTuple):
     search_mode: jnp.ndarray
     n_left: jnp.ndarray
     n_right: jnp.ndarray
+    # 'corridor' exactness certificate: True iff every binary-column
+    # read this attempt made stayed inside the decision corridor, which
+    # (with the margin-exact interior) makes the attempt bit-identical
+    # to full-width 'fast' by induction.  Constant True off-corridor.
+    roi_ok: jnp.ndarray = True
 
 
 def _roi_grids(und_q: dict, g_warp: ResampleGrid, img_size):
@@ -386,43 +414,80 @@ def _warp_channels(frame, params: TrackerParams):
 
 
 def _embed_cols(binary, params: TrackerParams):
-    """Embed a corridor-cropped binary back into the full warped width
-    (zeros outside [x0, x1)) so the search/fit/validity semantics — and
-    every x coordinate downstream — stay in full warped coordinates."""
+    """Slice a compute-window binary down to the decision corridor and
+    embed it back into the full warped width (zeros outside [x0, x1)) so
+    the search/fit/validity semantics — and every x coordinate
+    downstream — stay in full warped coordinates.  The dropped margin
+    columns exist only to feed the kept columns' influence cones."""
     if params.col_roi is None:
         return binary
     x0, x1 = params.col_roi
+    c0, c1 = params.col_comp
     W = params.warped_size[0]
+    binary = binary[..., x0 - c0:x1 - c0]
     pad = [(0, 0)] * (binary.ndim - 1) + [(x0, W - x1)]
     return jnp.pad(binary, pad)
 
 
 def _embed_prefixes(pref: RowPrefixes, params: TrackerParams) -> RowPrefixes:
-    """Rebase corridor-width packed row prefixes onto the full width.
+    """Rebase compute-window packed row prefixes onto the full width,
+    keeping only the decision corridor's pixels.
 
     The packed word is (x_sum << shift) | count with shift derived from
-    the width (ops/integrals._count_shift), so the corridor's prefixes
-    repack exactly: counts are unchanged, x-sums shift by x0 * count,
-    positions X <= x0 hold 0 and X > x1 hold the row total.  O(H * Wc)
-    int32 work — negligible next to the filter it rides on.
+    the width (ops/integrals._count_shift), so the window's prefixes
+    repack exactly: subtracting the prefix at the corridor's left edge
+    drops the margin pixels, counts then carry over unchanged, x-sums
+    shift by c0 * count (compute coords -> full coords), positions
+    X <= x0 hold 0 and X > x1 hold the corridor total.  O(H * Wc) int32
+    work — negligible next to the filter it rides on.
     """
     if params.col_roi is None:
         return pref
     x0, x1 = params.col_roi
+    c0, c1 = params.col_comp
     W = params.warped_size[0]
-    packed = pref.packed  # (..., H, Wc + 1) int32, corridor-width packing
-    Wc = packed.shape[-1] - 1
-    assert Wc == x1 - x0, (Wc, params.col_roi)
-    shift_c = (Wc + 1).bit_length()
+    packed = pref.packed  # (..., H, Wcm + 1) int32, window-width packing
+    Wcm = packed.shape[-1] - 1
+    assert Wcm == c1 - c0, (Wcm, params.col_comp)
+    shift_c = (Wcm + 1).bit_length()
     shift_f = (W + 1).bit_length()
+    a, b = x0 - c0, x1 - c0
     cnt = packed & ((1 << shift_c) - 1)
     xs = packed >> shift_c
-    repacked = ((xs + x0 * cnt) << shift_f) | cnt
+    # Corridor-relative prefixes at full positions X in [x0, x1].
+    seg_cnt = cnt[..., a:b + 1] - cnt[..., a:a + 1]
+    seg_xs = xs[..., a:b + 1] - xs[..., a:a + 1] + c0 * seg_cnt
+    repacked = (seg_xs << shift_f) | seg_cnt
     pad_left = [(0, 0)] * (packed.ndim - 1) + [(x0, 0)]
     left = jnp.pad(repacked, pad_left)  # X <= x0: zero pixels before
     tail = jnp.broadcast_to(
         repacked[..., -1:], packed.shape[:-1] + (W - x1,))
     return RowPrefixes(packed=jnp.concatenate([left, tail], axis=-1))
+
+
+# Chunks at or beyond this T run the warp+LAB stage through lax.map in
+# blocks of _WARP_MAP_BATCH frames instead of one whole-chunk vmap: the
+# pair-gathers' packed-u32 tap reads are the program's largest HBM temps
+# (4 x u32[T,Hw,Ww] ~ 14.3 GB at T=768 — the round-4 HBM wall after the
+# sws int8 fix; scripts/hbm_probe.py), and XLA's remat keeps them alive
+# whole-chunk.  Mapping in blocks caps the tap temps at batch size while
+# the warped-channel OUTPUTS (u8, 2 x T*Hw*Ww) are unchanged.  The
+# threshold leaves the benched T=512 headline program byte-identical.
+_WARP_MAP_MIN_T = 768
+_WARP_MAP_BATCH = 256
+
+
+def _warp_channels_batch(frames, params: TrackerParams):
+    """vmap of _warp_channels, lax.map'd in blocks for very large T
+    (see _WARP_MAP_MIN_T above)."""
+    f = jax.vmap(lambda fr: _warp_channels(fr, params))
+    T = frames.shape[0]
+    if T < _WARP_MAP_MIN_T or T % _WARP_MAP_BATCH != 0:
+        return f(frames)
+    fb = frames.reshape((T // _WARP_MAP_BATCH, _WARP_MAP_BATCH)
+                        + frames.shape[1:])
+    r, b = jax.lax.map(f, fb)
+    return (r.reshape((T,) + r.shape[2:]), b.reshape((T,) + b.shape[2:]))
 
 
 def _run_attempt(state: TrackerState, cfg: TrackerConfig, scfg, params,
@@ -458,6 +523,34 @@ def _run_attempt(state: TrackerState, cfg: TrackerConfig, scfg, params,
     validity = check_validity(
         lc, rc, meta.n[0], meta.n[1], params.warped_size, cfg.validity
     )
+    if params.col_roi is None:
+        roi_ok = jnp.bool_(True)
+    else:
+        # Exactness certificate: every column this attempt READ lies in
+        # the corridor.  Interior columns are bit-exact vs 'fast' (the
+        # compute margin covers the filter's influence radius), so if
+        # all reads are interior the attempt's whole decision trace —
+        # window walk, selected pixels, fit, validity — is identical to
+        # full-width 'fast' by induction over reads.  Reads are (a) the
+        # per-level conv read extents the SWS scan emits (empty for
+        # band) and (b) the selected per-row intervals (band reads
+        # exactly these; for SWS they are sub-ranges of (a)).
+        x0, x1 = params.col_roi
+
+        def _rng_ok(lo, hi, nonempty):
+            return jnp.all(jnp.where(nonempty, (lo >= x0) & (hi <= x1),
+                                     True))
+
+        roi_ok = (
+            _rng_ok(iv.left_read_lo, iv.left_read_hi,
+                    iv.left_read_lo < iv.left_read_hi)
+            & _rng_ok(iv.right_read_lo, iv.right_read_hi,
+                      iv.right_read_lo < iv.right_read_hi)
+            & _rng_ok(iv.left_lo, iv.left_hi,
+                      iv.left_valid & (iv.left_lo < iv.left_hi))
+            & _rng_ok(iv.right_lo, iv.right_hi,
+                      iv.right_valid & (iv.right_lo < iv.right_hi))
+        )
     return AttemptResult(
         detected=detected,
         valid=detected & validity,
@@ -466,6 +559,7 @@ def _run_attempt(state: TrackerState, cfg: TrackerConfig, scfg, params,
         search_mode=jnp.where(use_band, jnp.int32(1), jnp.int32(0)),
         n_left=meta.n[0],
         n_right=meta.n[1],
+        roi_ok=roi_ok,
     )
 
 
@@ -626,7 +720,7 @@ def front_artifacts_batch(
     invoked ONCE on the whole batch so grid-batched Pallas backends work;
     bit-identical to the per-frame path for every backend.
     """
-    r_chan, b_chan = jax.vmap(lambda f: _warp_channels(f, params))(frames)
+    r_chan, b_chan = _warp_channels_batch(frames, params)
     binary1, pref = _filter_batch(r_chan, b_chan, config.filter,
                                   params.filter_backend, want_prefixes=True)
     binary1 = _embed_cols(binary1, params)
@@ -921,6 +1015,9 @@ def back_half(
         a1_right_coeffs=a1.rc,
         a1_n_left=a1.n_left,
         a1_n_right=a1.n_right,
+        # a1 always executed; `a` is the selected final attempt, whose
+        # roi_ok equals a2's exactly when a2 executed (a1 invalid).
+        corridor_ok=a1.roi_ok & a.roi_ok,
     )
     return new_state, out, meta
 

@@ -26,22 +26,25 @@ from lane_tracker_tpu.tracker.step import (
 
 
 def test_embed_prefixes_exact():
-    """Corridor-width packed prefixes rebased to full width must equal
-    prefixes built directly from the zero-padded binary, for every
-    interval read the search can make."""
+    """Compute-window packed prefixes rebased to full width must equal
+    prefixes built directly from the corridor-only zero-padded binary
+    (margin pixels dropped), for every interval read the search can
+    make."""
     rng = np.random.default_rng(0)
     H, W, x0, x1 = 16, 640, 192, 448
-    crop = (rng.random((H, x1 - x0)) < 0.3).astype(np.uint8) * 255
+    c0, c1 = x0 - 32, x1 + 32  # compute window: corridor + margin
+    comp = (rng.random((H, c1 - c0)) < 0.3).astype(np.uint8) * 255
     full = np.zeros((H, W), np.uint8)
-    full[:, x0:x1] = crop
+    full[:, x0:x1] = comp[:, x0 - c0:x1 - c0]  # only corridor pixels kept
 
-    pref_crop = build_row_prefixes(jnp.asarray(crop))
+    pref_comp = build_row_prefixes(jnp.asarray(comp))
 
     class P:
         col_roi = (x0, x1)
+        col_comp = (c0, c1)
         warped_size = (W, H)
 
-    embedded = _embed_prefixes(pref_crop, P)
+    embedded = _embed_prefixes(pref_comp, P)
     direct = build_row_prefixes(jnp.asarray(full))
     np.testing.assert_array_equal(np.asarray(embedded.packed),
                                   np.asarray(direct.packed))
@@ -55,7 +58,8 @@ def test_corridor_params_crop_grids():
         warp.mppv, warp.mpph, pipeline="corridor",
     )
     assert p.col_roi == (320, 832)
-    assert p.grid_warp_roi.base.shape == (1100, 512)
+    assert p.col_comp == (240, 912)  # corridor + 80 px influence margin
+    assert p.grid_warp_roi.base.shape == (1100, 672)
     with pytest.raises(ValueError, match="col_roi"):
         TrackerParams.build(
             cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
@@ -108,3 +112,32 @@ def test_corridor_matches_fast_on_nominal_content():
             err_msg=name,
         )
     assert np.asarray(outs["fast"].valid).all()
+    # The exactness certificate must hold on nominal content (and 'fast'
+    # reports constant True).
+    assert np.asarray(outs["corridor"].corridor_ok).all()
+    assert np.asarray(outs["fast"].corridor_ok).all()
+
+
+@pytest.mark.slow
+def test_corridor_certificate_flags_narrow_corridor():
+    """A corridor too narrow for the content must clear corridor_ok: the
+    bench stills' SWS seed histogram reads [360, 720), so a (430, 700)
+    corridor cannot certify — the reads poke outside it."""
+    from PIL import Image
+
+    from lane_tracker_tpu.parallel.pipeline import chunk_process
+
+    cam, warp = load_calibration_npz("assets/calibration.npz")
+    p = TrackerParams.build(
+        cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
+        warp.image_width_height, warp.warped_width_height,
+        warp.mppv, warp.mpph, pipeline="corridor", col_roi=(430, 700),
+        filter_backend="xla")
+    config = PRESETS["demo1"]
+    frames = np.stack([
+        np.asarray(Image.open("assets/frame911.jpg").convert("RGB"))])
+    st = make_initial_state(config, p.warped_size)
+    _, o = jax.jit(lambda s, f, pp: chunk_process(
+        s, f, pp, config, False, second_attempt="two_phase"),
+        static_argnames=())(st, frames, p)
+    assert not np.asarray(o.corridor_ok).any()
