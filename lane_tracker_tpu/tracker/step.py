@@ -475,13 +475,24 @@ def _embed_prefixes(pref: RowPrefixes, params: TrackerParams) -> RowPrefixes:
 # threshold leaves the benched T=512 headline program byte-identical.
 _WARP_MAP_MIN_T = 768
 _WARP_MAP_BATCH = 256
+# Chunks BELOW this T warp frame-by-frame (lax.map with no inner vmap):
+# under a tiny-batch vmap XLA lays the gather temps out batch-MINOR and
+# pads the minor dim to the 128-lane tile, so a T=1 chunk's warp reads
+# ~128x the bytes — measured 44.2 of the 45.9 ms single-frame latency
+# (scripts/latency_bisect.py; T=2 pays 23.6 ms, the same tax halved).
+# Per-frame bodies have no batch dim, so they keep the T=512 program's
+# layouts; the scan serializes the few frames, which is exactly the
+# latency mode's access pattern anyway.
+_WARP_VMAP_MIN_T = 8
 
 
 def _warp_channels_batch(frames, params: TrackerParams):
-    """vmap of _warp_channels, lax.map'd in blocks for very large T
-    (see _WARP_MAP_MIN_T above)."""
-    f = jax.vmap(lambda fr: _warp_channels(fr, params))
+    """vmap of _warp_channels; frame-by-frame below _WARP_VMAP_MIN_T,
+    lax.map'd in blocks at or above _WARP_MAP_MIN_T (see above)."""
     T = frames.shape[0]
+    if T < _WARP_VMAP_MIN_T:
+        return jax.lax.map(lambda fr: _warp_channels(fr, params), frames)
+    f = jax.vmap(lambda fr: _warp_channels(fr, params))
     if T < _WARP_MAP_MIN_T or T % _WARP_MAP_BATCH != 0:
         return f(frames)
     fb = frames.reshape((T // _WARP_MAP_BATCH, _WARP_MAP_BATCH)
