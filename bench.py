@@ -103,6 +103,29 @@ def _reexec_with_retry(e: BaseException):
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+def _corridor_fallback(n_bad: int):
+    """A tripped corridor certificate on the DEFAULT configuration falls
+    back to the full-width exact chain instead of dying.
+
+    The certificate hard-gates the corridor headline's exactness claim,
+    but the bench is also the round's one mandatory artifact: if this
+    content ever escapes the corridor (certificate False on some frames),
+    the right outcome is a slower-but-exact 'fast' capture, not an rc=1
+    run with no artifact (the round-4 failure mode, in a new coat).  An
+    EXPLICIT BENCH_PIPELINE=corridor request still asserts, so the
+    certificate remains testable.
+    """
+    import os
+
+    msg = f"corridor certificate failed on {n_bad} frames"
+    if os.environ.get("BENCH_PIPELINE") is not None:
+        raise AssertionError(msg)
+    print(f"{msg}; falling back to the full-width 'fast' pipeline",
+          file=sys.stderr)
+    os.environ["BENCH_PIPELINE"] = "fast"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     """Outage-proof wrapper: any transport error anywhere in the measured
     run (init, compile, execute, fetch) re-execs a fresh process with
@@ -200,8 +223,8 @@ def _run():
         cert = np.asarray(outs.corridor_ok)
         cert_frac = float(cert.mean())
         certified = bool(cert.all())
-        assert certified, (
-            f"corridor certificate failed on {int((~cert).sum())} frames")
+        if not certified:
+            _corridor_fallback(int((~cert).sum()))
 
     # Quality gate: coefficient-curve RMSE vs the live reference's trace
     # over this exact sequence (assets/bench_oracle*.npz, generated by

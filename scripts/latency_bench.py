@@ -39,11 +39,6 @@ def main(argv):
     from lane_tracker_tpu.utils.timing import device_time_per_iter
 
     cam, warp = load_calibration_npz("assets/calibration.npz")
-    params = TrackerParams.build(
-        cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
-        warp.image_width_height, warp.warped_width_height,
-        warp.mppv, warp.mpph, pipeline="fast",
-    )
     config = PRESETS["demo1"]
 
     names = ["frame911.jpg", "frame971.jpg", "test4.jpg",
@@ -51,38 +46,53 @@ def main(argv):
     imgs = [np.asarray(Image.open(f"assets/{n}").convert("RGB"))
             for n in names]
 
-    sizes = [int(a) for a in argv] or [1, 4, 16, 64, 256, 512]
+    sizes = [int(a) for a in argv] or [1, 2, 4, 8, 16, 64, 256, 512]
+    # Both the full-width exact chain and the certified-corridor serving
+    # default (bench.py's headline pipeline): latency-mode serving runs
+    # the same program family, so the trade is measured for both.
+    pipelines = ("fast", "corridor")
     results = []
-    for T in sizes:
-        chunk = np.stack([imgs[i % len(imgs)] for i in range(T)])
-        chunk_d = jax.device_put(chunk)
-        step = build_chunk_processor(config, with_overlay=True,
-                                     second_attempt="two_phase")
-        state = make_initial_state(config, params.warped_size)
-        state, outs = step(state, chunk_d, params)  # compile + sanity
-        assert bool(np.asarray(outs.valid).all()), f"tracking failed at T={T}"
+    for pipeline in pipelines:
+        params = TrackerParams.build(
+            cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
+            warp.image_width_height, warp.warped_width_height,
+            warp.mppv, warp.mpph, pipeline=pipeline,
+        )
+        for T in sizes:
+            chunk = np.stack([imgs[i % len(imgs)] for i in range(T)])
+            chunk_d = jax.device_put(chunk)
+            step = build_chunk_processor(config, with_overlay=True,
+                                         second_attempt="two_phase")
+            state = make_initial_state(config, params.warped_size)
+            state, outs = step(state, chunk_d, params)  # compile + sanity
+            assert bool(np.asarray(outs.valid).all()), \
+                f"tracking failed at T={T}"
+            if pipeline == "corridor":
+                assert bool(np.asarray(outs.corridor_ok).all()), \
+                    f"corridor certificate failed at T={T}"
 
-        def body(carry, p):
-            st, ch = carry
-            st, outs = chunk_process(st, ch, p, config, True,
-                                     second_attempt="two_phase")
-            dep = (jnp.max(outs.overlay) & 1).astype(jnp.uint8)
-            return (st, ch ^ dep)
+            def body(carry, p):
+                st, ch = carry
+                st, outs = chunk_process(st, ch, p, config, True,
+                                         second_attempt="two_phase")
+                dep = (jnp.max(outs.overlay) & 1).astype(jnp.uint8)
+                return (st, ch ^ dep)
 
-        # Scale chained iterations so small-T runs accumulate enough
-        # device time to dominate the round-trip-subtraction noise.
-        n_iters = int(min(512, max(16, 2048 // T)))
-        per_chunk, _ = device_time_per_iter(
-            lambda: (state, chunk_d), body, n_iters=n_iters, repeats=3,
-            invariant=params)
-        rec = {
-            "chunk": T,
-            "fps": round(T / per_chunk, 1),
-            "ms_per_frame": round(per_chunk / T * 1e3, 3),
-            "chunk_compute_ms": round(per_chunk * 1e3, 3),
-        }
-        results.append(rec)
-        print(json.dumps(rec), flush=True)
+            # Scale chained iterations so small-T runs accumulate enough
+            # device time to dominate the round-trip-subtraction noise.
+            n_iters = int(min(512, max(16, 2048 // T)))
+            per_chunk, _ = device_time_per_iter(
+                lambda: (state, chunk_d), body, n_iters=n_iters, repeats=3,
+                invariant=params)
+            rec = {
+                "pipeline": pipeline,
+                "chunk": T,
+                "fps": round(T / per_chunk, 1),
+                "ms_per_frame": round(per_chunk / T * 1e3, 3),
+                "chunk_compute_ms": round(per_chunk * 1e3, 3),
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
 
     with open("LATENCY_BENCH.json", "w") as f:
         for rec in results:

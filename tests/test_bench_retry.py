@@ -96,6 +96,27 @@ def test_midrun_exhausted_retries_reraise(bench_module, monkeypatch):
     assert not calls
 
 
+def test_cert_failure_default_falls_back_to_fast(bench_module, monkeypatch):
+    """A tripped corridor certificate on the DEFAULT config must re-exec
+    with BENCH_PIPELINE=fast (a slower exact capture beats a voided one),
+    not crash the driver's mandatory artifact."""
+    bench, calls = bench_module
+    monkeypatch.delenv("BENCH_PIPELINE", raising=False)
+    bench._corridor_fallback(3)
+    assert len(calls) == 1
+    assert os.environ["BENCH_PIPELINE"] == "fast"
+
+
+def test_cert_failure_explicit_corridor_asserts(bench_module, monkeypatch):
+    """An EXPLICIT BENCH_PIPELINE=corridor run keeps the hard assert so
+    the certificate stays testable."""
+    bench, calls = bench_module
+    monkeypatch.setenv("BENCH_PIPELINE", "corridor")
+    with pytest.raises(AssertionError, match="corridor certificate"):
+        bench._corridor_fallback(2)
+    assert not calls
+
+
 def test_transport_classifier():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
