@@ -100,6 +100,36 @@ class ResampleGrid:
         return self.base.shape
 
 
+def combine_taps(p00, p01, p10, p11, grid: "ResampleGrid", bias=None):
+    """Weighted bilinear combine of the four window-slot taps — THE single
+    arithmetic definition shared by every resampling path (per-pixel
+    gathers here, row-matmul taps in resample_rowmm.py), so alternative
+    tap-fetch strategies are bit-identical by construction.
+
+    Float grids: f32 weights, round-half-even (OpenCV >= 5 float path).
+    Fixed grids: 2^15 int weights, round-half-up (classic OpenCV remap).
+    """
+    if grid.w00.dtype == jnp.float32:
+        acc = (
+            p00.astype(jnp.float32) * grid.w00
+            + p01.astype(jnp.float32) * grid.w01
+            + p10.astype(jnp.float32) * grid.w10
+            + p11.astype(jnp.float32) * grid.w11
+        )
+        if bias is not None:
+            acc = acc + bias
+        return jnp.clip(jnp.rint(acc), 0, 255).astype(jnp.uint8)
+    if bias is not None:
+        raise NotImplementedError("bias is only supported on float-weight grids")
+    acc = (
+        p00.astype(jnp.int32) * grid.w00
+        + p01.astype(jnp.int32) * grid.w01
+        + p10.astype(jnp.int32) * grid.w10
+        + p11.astype(jnp.int32) * grid.w11
+    )
+    return jnp.clip((acc + _ROUND) >> COEF_BITS, 0, 255).astype(jnp.uint8)
+
+
 def _pack_2x2(img: jnp.ndarray) -> jnp.ndarray:
     """uint32 image whose word at (y, x) packs the 2x2 neighborhood
     [img[y,x], img[y,x+1], img[y+1,x], img[y+1,x+1]] as bytes."""
@@ -144,31 +174,10 @@ def bilinear_gather_pair(
     def unpack(word, shift):
         return (word >> shift) & 0xFF
 
-    def combine(p00, p01, p10, p11, bias=None):
-        if grid.w00.dtype == jnp.float32:
-            acc = (
-                p00.astype(jnp.float32) * grid.w00
-                + p01.astype(jnp.float32) * grid.w01
-                + p10.astype(jnp.float32) * grid.w10
-                + p11.astype(jnp.float32) * grid.w11
-            )
-            if bias is not None:
-                acc = acc + bias
-            return jnp.clip(jnp.rint(acc), 0, 255).astype(jnp.uint8)
-        if bias is not None:
-            raise NotImplementedError(
-                "bias_b is only supported on float-weight grids")
-        acc = (
-            p00.astype(jnp.int32) * grid.w00
-            + p01.astype(jnp.int32) * grid.w01
-            + p10.astype(jnp.int32) * grid.w10
-            + p11.astype(jnp.int32) * grid.w11
-        )
-        return jnp.clip((acc + _ROUND) >> COEF_BITS, 0, 255).astype(jnp.uint8)
-
-    out_a = combine(unpack(top, 0), unpack(top, 8), unpack(bot, 0), unpack(bot, 8))
-    out_b = combine(unpack(top, 16), unpack(top, 24), unpack(bot, 16),
-                    unpack(bot, 24), bias=bias_b)
+    out_a = combine_taps(unpack(top, 0), unpack(top, 8), unpack(bot, 0),
+                         unpack(bot, 8), grid)
+    out_b = combine_taps(unpack(top, 16), unpack(top, 24), unpack(bot, 16),
+                         unpack(bot, 24), grid, bias=bias_b)
     return out_a, out_b
 
 
@@ -192,23 +201,4 @@ def bilinear_gather(img: jnp.ndarray, grid: ResampleGrid) -> jnp.ndarray:
     p01 = (taps >> 8) & 0xFF
     p10 = (taps >> 16) & 0xFF
     p11 = (taps >> 24) & 0xFF
-
-    if grid.w00.dtype == jnp.float32:
-        # Float path (OpenCV >= 5 semantics): f32 weights, round-half-even.
-        acc = (
-            p00.astype(jnp.float32) * grid.w00
-            + p01.astype(jnp.float32) * grid.w01
-            + p10.astype(jnp.float32) * grid.w10
-            + p11.astype(jnp.float32) * grid.w11
-        )
-        return jnp.clip(jnp.rint(acc), 0, 255).astype(jnp.uint8)
-
-    # Fixed-point path (classic OpenCV remap): 2^15 weights, round-half-up.
-    acc = (
-        p00.astype(jnp.int32) * grid.w00
-        + p01.astype(jnp.int32) * grid.w01
-        + p10.astype(jnp.int32) * grid.w10
-        + p11.astype(jnp.int32) * grid.w11
-    )
-    out = (acc + _ROUND) >> COEF_BITS
-    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+    return combine_taps(p00, p01, p10, p11, grid)

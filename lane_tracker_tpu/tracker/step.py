@@ -114,6 +114,13 @@ class TrackerParams:
     # LAB-B out-of-image fill restoration (LAB-B of black is 128, but a
     # warped channel's out-of-bounds taps carry weight 0).
     warp_b_bias: jnp.ndarray | None = None
+    # Latency mode (opt-in via with_rowmm()): tile-structured resampling
+    # grids replacing the per-pixel gathers with slab reads + one-hot MXU
+    # contractions — bit-identical outputs, built for small-T/per-frame
+    # programs where the scalar gather dominates latency
+    # (kernels/resample_rowmm.py).
+    mm_und: object | None = None
+    mm_warp: object | None = None
 
     def tree_flatten(self):
         children = (
@@ -125,6 +132,8 @@ class TrackerParams:
             self.fwd_u,
             self.fwd_v,
             self.warp_b_bias,
+            self.mm_und,
+            self.mm_warp,
         )
         aux = (
             self.img_size,
@@ -142,8 +151,26 @@ class TrackerParams:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        *grids, bias = children
-        return cls(*grids, *aux, warp_b_bias=bias)
+        *grids, bias, mm_und, mm_warp = children
+        return cls(*grids, *aux, warp_b_bias=bias, mm_und=mm_und,
+                   mm_warp=mm_warp)
+
+    def with_rowmm(self) -> "TrackerParams":
+        """Params carrying the latency-mode resampling structure: the
+        two-stage warp runs as slab gathers + one-hot MXU contractions
+        (kernels/resample_rowmm.py), bit-identical to the gather path.
+        Opt-in because the one-hot tensors cost ~400 MB of HBM and only
+        pay off where the per-pixel gather's per-index cost dominates —
+        single-frame and small-chunk (T < 8) programs."""
+        if self.pipeline == "compat" or self.grid_und_roi is None:
+            return self
+        from lane_tracker_tpu.kernels.resample_rowmm import build_rowmm
+
+        return dataclasses.replace(
+            self,
+            mm_und=build_rowmm(self.grid_und_roi),
+            mm_warp=build_rowmm(self.grid_warp_roi),
+        )
 
     @classmethod
     def build(
@@ -389,9 +416,20 @@ def _warp_channels(frame, params: TrackerParams):
     # rows the warp samples, from only the raw rows those need.
     ry0, ry1 = params.raw_roi
     sub = frame[ry0:ry1]
-    r_u, g_u = bilinear_gather_pair(sub[..., 0], sub[..., 1],
-                                    params.grid_und_roi)
-    b_u = bilinear_gather(sub[..., 2], params.grid_und_roi)
+    if params.mm_und is not None:
+        # Latency mode (with_rowmm): same taps/weights via slab reads +
+        # one-hot MXU contractions — bit-identical, ~30x cheaper for a
+        # single unbatched frame (kernels/resample_rowmm.py).
+        from lane_tracker_tpu.kernels.resample_rowmm import (
+            gather_planes_rowmm,
+        )
+
+        r_u, g_u, b_u = gather_planes_rowmm(
+            jnp.moveaxis(sub, -1, 0), params.grid_und_roi, params.mm_und)
+    else:
+        r_u, g_u = bilinear_gather_pair(sub[..., 0], sub[..., 1],
+                                        params.grid_und_roi)
+        b_u = bilinear_gather(sub[..., 2], params.grid_und_roi)
     if params.pipeline == "turbo":
         # 'turbo': MEASURED-APPROXIMATION pipeline (opt-in; quality
         # measured in scripts/turbo_quality.py, documented in
@@ -405,10 +443,27 @@ def _warp_channels(frame, params: TrackerParams):
         # frame (lane_tracker.py:832-834, 207-208), and the two differ
         # by the nonlinearity's Jensen gap on blended edge pixels.
         lab_u = rgb2lab_b_fast(jnp.stack([r_u, g_u, b_u], axis=-1))
+        if params.mm_warp is not None:
+            from lane_tracker_tpu.kernels.resample_rowmm import (
+                bilinear_gather_pair_rowmm,
+            )
+
+            return bilinear_gather_pair_rowmm(
+                r_u, lab_u, params.grid_warp_roi, params.mm_warp,
+                bias_b=params.warp_b_bias)
         return bilinear_gather_pair(r_u, lab_u, params.grid_warp_roi,
                                     bias_b=params.warp_b_bias)
-    r_w, g_w = bilinear_gather_pair(r_u, g_u, params.grid_warp_roi)
-    b_w = bilinear_gather(b_u, params.grid_warp_roi)
+    if params.mm_warp is not None:
+        from lane_tracker_tpu.kernels.resample_rowmm import (
+            gather_planes_rowmm,
+        )
+
+        r_w, g_w, b_w = gather_planes_rowmm(
+            jnp.stack([r_u, g_u, b_u]), params.grid_warp_roi,
+            params.mm_warp)
+    else:
+        r_w, g_w = bilinear_gather_pair(r_u, g_u, params.grid_warp_roi)
+        b_w = bilinear_gather(b_u, params.grid_warp_roi)
     lab = rgb2lab_b_fast(jnp.stack([r_w, g_w, b_w], axis=-1))
     return r_w, lab
 

@@ -47,24 +47,49 @@ def main(argv):
             for n in names]
 
     sizes = [int(a) for a in argv] or [1, 2, 4, 8, 16, 64, 256, 512]
-    # Both the full-width exact chain and the certified-corridor serving
-    # default (bench.py's headline pipeline): latency-mode serving runs
-    # the same program family, so the trade is measured for both.
-    pipelines = ("fast", "corridor")
-    results = []
+    # Both the certified-corridor serving default (bench.py's headline
+    # pipeline, measured first so a mid-run outage keeps the most
+    # important rows) and the full-width exact chain.
+    pipelines = ("corridor", "fast")
+    # Crash-safe incremental artifact: rows keyed (pipeline, chunk) merge
+    # into the existing file after every measurement, so an outage mid-
+    # sweep loses one row, not the run, and a restart re-measures only
+    # what it is asked to.
+    rows = {}
+    try:
+        with open("LATENCY_BENCH.json") as f:
+            for ln in f:
+                r = json.loads(ln)
+                rows[(r.get("pipeline", "fast"), r["chunk"])] = r
+    except FileNotFoundError:
+        pass
+
+    def flush():
+        order = {"corridor": 0, "fast": 1}
+        with open("LATENCY_BENCH.json", "w") as f:
+            for k in sorted(rows, key=lambda k: (order.get(k[0], 9), k[1])):
+                f.write(json.dumps(rows[k]) + "\n")
+
     for pipeline in pipelines:
         params = TrackerParams.build(
             cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
             warp.image_width_height, warp.warped_width_height,
             warp.mppv, warp.mpph, pipeline=pipeline,
         )
+        # Small chunks opt into the row-matmul resampler (bit-identical;
+        # kernels/resample_rowmm.py) — the per-pixel gather's per-index
+        # cost is the measured single-frame latency cliff.
+        params_mm = params.with_rowmm()
         for T in sizes:
+            from lane_tracker_tpu.tracker.step import _WARP_VMAP_MIN_T
+
+            p_run = params_mm if T < _WARP_VMAP_MIN_T else params
             chunk = np.stack([imgs[i % len(imgs)] for i in range(T)])
             chunk_d = jax.device_put(chunk)
             step = build_chunk_processor(config, with_overlay=True,
                                          second_attempt="two_phase")
             state = make_initial_state(config, params.warped_size)
-            state, outs = step(state, chunk_d, params)  # compile + sanity
+            state, outs = step(state, chunk_d, p_run)  # compile + sanity
             assert bool(np.asarray(outs.valid).all()), \
                 f"tracking failed at T={T}"
             if pipeline == "corridor":
@@ -83,7 +108,7 @@ def main(argv):
             n_iters = int(min(512, max(16, 2048 // T)))
             per_chunk, _ = device_time_per_iter(
                 lambda: (state, chunk_d), body, n_iters=n_iters, repeats=3,
-                invariant=params)
+                invariant=p_run)
             rec = {
                 "pipeline": pipeline,
                 "chunk": T,
@@ -91,12 +116,12 @@ def main(argv):
                 "ms_per_frame": round(per_chunk / T * 1e3, 3),
                 "chunk_compute_ms": round(per_chunk * 1e3, 3),
             }
-            results.append(rec)
+            if T < _WARP_VMAP_MIN_T:
+                rec["resampler"] = "rowmm"
+            rows[(pipeline, T)] = rec
+            flush()
             print(json.dumps(rec), flush=True)
 
-    with open("LATENCY_BENCH.json", "w") as f:
-        for rec in results:
-            f.write(json.dumps(rec) + "\n")
     print("wrote LATENCY_BENCH.json", flush=True)
 
 

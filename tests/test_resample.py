@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -153,3 +154,78 @@ def test_bilinear_gather_pair_matches_single():
         oa, ob = bilinear_gather_pair(a, b, grid)
         np.testing.assert_array_equal(np.asarray(oa), np.asarray(bilinear_gather(a, grid)))
         np.testing.assert_array_equal(np.asarray(ob), np.asarray(bilinear_gather(b, grid)))
+
+
+def test_rowmm_taps_bit_exact_vs_gather(calib):
+    """The tile-structured (slab + one-hot MXU) resampler must be
+    bit-identical to the per-pixel gather on BOTH production grids —
+    it exists purely as a faster tap-fetch strategy for unbatched
+    frames (kernels/resample_rowmm.py; round-5 latency mode)."""
+    from lane_tracker_tpu.kernels.resample import bilinear_gather_pair
+    from lane_tracker_tpu.kernels.resample_rowmm import (
+        bilinear_gather_pair_rowmm,
+        bilinear_gather_rowmm,
+        build_rowmm,
+        gather_planes_rowmm,
+    )
+    from lane_tracker_tpu.tracker.step import TrackerParams
+
+    cam, warp = calib
+    p = TrackerParams.build(
+        cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
+        warp.image_width_height, warp.warped_width_height,
+        warp.mppv, warp.mpph, pipeline="fast",
+    )
+    rng = np.random.default_rng(5)
+    for grid in (p.grid_warp_roi, p.grid_und_roi):
+        mm = build_rowmm(grid)
+        assert mm is not None  # both production grids are tile-structured
+        Ws, Hs = grid.src_size
+        a = rng.integers(0, 256, (Hs, Ws), dtype=np.uint8)
+        b = rng.integers(0, 256, (Hs, Ws), dtype=np.uint8)
+        ra, rb = bilinear_gather_pair(a, b, grid)
+        ma, mb = bilinear_gather_pair_rowmm(a, b, grid, mm)
+        np.testing.assert_array_equal(np.asarray(ra), np.asarray(ma))
+        np.testing.assert_array_equal(np.asarray(rb), np.asarray(mb))
+        m1 = bilinear_gather_rowmm(a, grid, mm)
+        np.testing.assert_array_equal(
+            np.asarray(bilinear_gather(a, grid)), np.asarray(m1))
+        pl = gather_planes_rowmm(jnp.stack([a, b]), grid, mm)
+        np.testing.assert_array_equal(np.asarray(ra), np.asarray(pl[0]))
+        np.testing.assert_array_equal(np.asarray(rb), np.asarray(pl[1]))
+
+
+def test_rowmm_chunk_pipeline_bit_exact(calib, frame_pair):
+    """with_rowmm() params must leave the whole chunk pipeline
+    bit-identical (overlay, coefficients, validity) — the latency mode
+    changes WHERE taps come from, never what they are."""
+    from lane_tracker_tpu.parallel.pipeline import build_chunk_processor
+    from lane_tracker_tpu.tracker.config import PRESETS
+    from lane_tracker_tpu.tracker.step import (
+        TrackerParams,
+        make_initial_state,
+    )
+
+    cam, warp = calib
+    chunk = np.stack(frame_pair)
+    config = PRESETS["demo1"]
+    p = TrackerParams.build(
+        cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
+        warp.image_width_height, warp.warped_width_height,
+        warp.mppv, warp.mpph, pipeline="corridor",
+    )
+    pm = p.with_rowmm()
+    assert pm.mm_warp is not None and pm.mm_und is not None
+    step = build_chunk_processor(config, with_overlay=True,
+                                 second_attempt="two_phase")
+    s0 = make_initial_state(config, p.warped_size)
+    _, o1 = step(s0, chunk, p)
+    _, o2 = step(s0, chunk, pm)
+    np.testing.assert_array_equal(np.asarray(o1.overlay),
+                                  np.asarray(o2.overlay))
+    np.testing.assert_array_equal(np.asarray(o1.left_coeffs),
+                                  np.asarray(o2.left_coeffs))
+    np.testing.assert_array_equal(np.asarray(o1.right_coeffs),
+                                  np.asarray(o2.right_coeffs))
+    np.testing.assert_array_equal(np.asarray(o1.valid), np.asarray(o2.valid))
+    assert bool(np.asarray(o2.valid).all())
