@@ -66,6 +66,7 @@ class LaneTracker:
         print_frame_count=False,
         validity: ValidityConfig | None = None,
         pipeline: str = "fast",
+        latency_mode: bool = False,
     ):
         self.img_size = tuple(int(v) for v in img_size)
         self.warped_size = tuple(int(v) for v in warped_size)
@@ -85,6 +86,13 @@ class LaneTracker:
             float(mpp_conversion[1]),
             pipeline=pipeline,
         )
+        if latency_mode:
+            # Single-frame serving: swap the per-pixel resampling gathers
+            # for the tile-structured slab+one-hot path — bit-identical
+            # outputs, built for exactly this per-frame program shape
+            # (kernels/resample_rowmm.py; ~400 MB of HBM for the one-hot
+            # tensors, hence opt-in).
+            self.params = self.params.with_rowmm()
         self._state: TrackerState | None = None
         self._prev_state: TrackerState | None = None
         self._chunk_fns = {}  # (config, with_overlay, schedule) -> jitted fn

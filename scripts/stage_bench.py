@@ -15,7 +15,9 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-T = 128
+import os
+T = int(os.environ.get("STAGE_T", "128"))
+PIPELINE = os.environ.get("STAGE_PIPELINE", "fast")
 
 
 def main(selected):
@@ -46,7 +48,7 @@ def main(selected):
     params = TrackerParams.build(
         cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
         warp.image_width_height, warp.warped_width_height,
-        warp.mppv, warp.mpph, pipeline="fast",
+        warp.mppv, warp.mpph, pipeline=PIPELINE,
     )
     config = PRESETS["demo1"]
     f1 = config.filter

@@ -428,3 +428,32 @@ def test_diagnostics_transcript_matches_reference(ref_process_module, calib):
     assert "No success at first attempt, now trying second." in text
     assert "No success after all attempts." in text
     assert "Success at first attempt!" in text
+
+
+def test_latency_mode_bit_identical(calib, frame_pair):
+    """LaneTracker(latency_mode=True) swaps the resampler for the
+    tile-structured rowmm path (round-5 latency mode) — the per-frame
+    outputs must be bit-identical to the default tracker's."""
+    from lane_tracker_tpu.tracker.config import PRESETS
+    from lane_tracker_tpu.tracker.tracker import LaneTracker
+
+    cam, warp = calib
+    kwargs = dict(
+        img_size=warp.image_width_height,
+        warped_size=warp.warped_width_height,
+        cam_matrix=cam.cam_matrix,
+        dist_coeffs=cam.dist_coeffs,
+        warp_matrices=(warp.M, warp.Minv),
+        mpp_conversion=(warp.mppv, warp.mpph),
+        validity=PRESETS["demo1"].validity,
+    )
+    base = LaneTracker(**kwargs)
+    lat = LaneTracker(latency_mode=True, **kwargs)
+    assert lat.params.mm_warp is not None
+    for frame in frame_pair:
+        out_b = base.process(frame, mask_noise=True, no_success_limit=50,
+                             bandwidth=30)
+        out_l = lat.process(frame, mask_noise=True, no_success_limit=50,
+                            bandwidth=30)
+        np.testing.assert_array_equal(out_b, out_l)
+    assert lat.get_success_ratio() == base.get_success_ratio()
