@@ -142,12 +142,19 @@ def main(argv):
 
     # The 'fast' sweep IS the artifact; non-default pipelines append so
     # the committed fast rows are never clobbered by a variant run, and a
-    # fast rewrite carries the existing variant rows forward.
+    # fast rewrite carries forward the existing variant rows PLUS fast
+    # rows for (streams, chunk) configs this run did not re-measure.
     kept = []
     if pipeline == "fast":
+        ran = {(S, T) for S, T in configs}
         try:
             with open("FLEET_BENCH.json") as f:
-                kept = [ln for ln in f if json.loads(ln).get("pipeline")]
+                kept = [
+                    ln for ln in f
+                    if json.loads(ln).get("pipeline")
+                    or (json.loads(ln)["streams"],
+                        json.loads(ln)["chunk"]) not in ran
+                ]
         except FileNotFoundError:
             pass
     mode = "w" if pipeline == "fast" else "a"

@@ -25,6 +25,10 @@ jax.config.update("jax_platforms", "cpu")
 # cache and skip compilation entirely. Keyed by HLO hash — a code change
 # that alters the traced program misses the cache and recompiles, so this
 # is correctness-neutral. Set LT_JAX_CACHE_DIR=off to disable.
+# The cache directory is COMMITTED (round-5 verdict item 7): ~12 MB buys
+# fresh checkouts the warm-cache run (~6 min vs ~13 cold on the 1-core
+# host). After changing compile-heavy code, run the suite and commit the
+# new entries alongside.
 _CACHE_DIR = os.environ.get(
     "LT_JAX_CACHE_DIR",
     str(pathlib.Path(__file__).resolve().parent / ".jax_cache"),
