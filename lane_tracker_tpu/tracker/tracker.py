@@ -22,6 +22,7 @@ from lane_tracker_tpu.tracker.config import (
 )
 from lane_tracker_tpu.tracker.state import TrackerState, state_from_npz, state_to_npz
 from lane_tracker_tpu.tracker.step import (
+    _WARP_VMAP_MIN_T,
     TrackerParams,
     build_step,
     make_initial_state,
@@ -38,18 +39,22 @@ class LaneTracker:
             thresholds (the reference hardcodes them; see PRESETS for the
             per-demo-video sets documented in tracker_settings.md).
         pipeline: 'fast' (default; the reference's exact two-stage
-            resample chain, ROI-cropped, with the Pallas filter kernels —
-            the benched pipeline), 'compat' (same chain bit-matching
-            the reference's cv2.undistort + cv2.warpPerspective with the
-            XLA filter ops), or one of the opt-in MEASURED-APPROXIMATION
-            pipelines (quality measured vs the live reference with
+            resample chain, ROI-cropped, with the Pallas filter kernels),
+            'corridor' (the benched serving default: 'fast' restricted
+            to the decision corridor + its filter-influence margin, with
+            a per-frame ``corridor_ok`` certificate under which the
+            decision trace is provably bit-identical to 'fast' — content
+            escaping the corridor trips the flag instead of silently
+            degrading), 'compat' (the chain bit-matching the reference's
+            cv2.undistort + cv2.warpPerspective with the XLA filter
+            ops), or one of the opt-in MEASURED-APPROXIMATION pipelines
+            (quality measured vs the live reference with
             scripts/approx_quality.py, documented in
-            docs/PERFORMANCE.md): 'corridor' (warp/LAB/filter compute
-            only the decision-relevant warped column band), 'half' (the
-            whole warped space at half resolution: scaled calibration,
-            doubled m/px, px-denominated knobs halved automatically), or
-            'turbo' (LAB-B computed on the undistorted band and warped
-            as a channel instead of recomputed on the warped frame).
+            docs/PERFORMANCE.md): 'half' (the whole warped space at half
+            resolution: scaled calibration, doubled m/px, px-denominated
+            knobs halved automatically) or 'turbo' (LAB-B computed on
+            the undistorted band and warped as a channel instead of
+            recomputed on the warped frame).
     """
 
     def __init__(
@@ -414,8 +419,19 @@ class LaneTracker:
         frames = np.ascontiguousarray(np.asarray(frames, dtype=np.uint8))
         if frames.ndim != 4:
             raise ValueError("process_chunk expects a (T, H, W, 3) batch")
+        params = self.params
+        if frames.shape[0] < _WARP_VMAP_MIN_T and params.mm_warp is None \
+                and params.pipeline != "compat":
+            # Latency-sized chunks run frame-by-frame (step._warp_
+            # channels_batch), where the per-pixel gather's per-index
+            # cost dominates — swap in the bit-identical rowmm resampler
+            # (built once, cached; ~400 MB of device constants).
+            if not hasattr(self, "_params_mm"):
+                self._params_mm = params.with_rowmm()
+            if self._params_mm.mm_warp is not None:
+                params = self._params_mm
         self._prev_state = self._state
-        self._state, outs = fn(self._state, frames, self.params)
+        self._state, outs = fn(self._state, frames, params)
         valid = np.asarray(outs.valid)
         self.counter += int(valid.shape[0])
         self.success += int(valid.sum())
