@@ -157,10 +157,17 @@ def _taps_rowmm(planes: jnp.ndarray, mm: RowMMGrid):
     # win: (Hd, nT, P, R+1, omega)
     om1 = omega - 1
 
+    # bf16 x bf16 -> f32 rides the MXU on TPU; the CPU backend's batched
+    # DotThunk lacks that combination, so contract in f32 there (equally
+    # exact: both dtypes hold 0..255 and the one-hot exactly, and each
+    # output accumulates exactly one nonzero term).
+    cdt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    oh = mm.onehot.astype(cdt)
+
     def contract(r0, k0):
         w = win[:, :, :, r0:r0 + R, k0:k0 + om1]
-        w = w.reshape(Hd, nT, P, R * om1).astype(jnp.bfloat16)
-        t = jnp.einsum("ytpk,ytki->pyti", w, mm.onehot,
+        w = w.reshape(Hd, nT, P, R * om1).astype(cdt)
+        t = jnp.einsum("ytpk,ytki->pyti", w, oh,
                        preferred_element_type=jnp.float32)
         return t.reshape(P, Hd, nT * tile)[:, :, :Wd]
 

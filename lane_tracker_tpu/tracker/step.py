@@ -530,15 +530,15 @@ def _embed_prefixes(pref: RowPrefixes, params: TrackerParams) -> RowPrefixes:
 # threshold leaves the benched T=512 headline program byte-identical.
 _WARP_MAP_MIN_T = 768
 _WARP_MAP_BATCH = 256
-# Chunks BELOW this T warp frame-by-frame (lax.map with no inner vmap):
-# under a tiny-batch vmap XLA lays the gather temps out batch-MINOR and
-# pads the minor dim to the 128-lane tile, so a T=1 chunk's warp reads
-# ~128x the bytes — measured 44.2 of the 45.9 ms single-frame latency
-# (scripts/latency_bisect.py; T=2 pays 23.6 ms, the same tax halved).
-# Per-frame bodies have no batch dim, so they keep the T=512 program's
-# layouts; the scan serializes the few frames, which is exactly the
-# latency mode's access pattern anyway.
-_WARP_VMAP_MIN_T = 8
+# Chunks BELOW this T warp frame-by-frame (lax.map with no inner vmap).
+# Round-5 measurement history: the bisect blamed the T=1 cliff on the
+# tiny-batch vmap's padded batch-minor layouts and this threshold was
+# briefly 8, but the on-hardware sweep showed lax.map REGRESSES T=2/4
+# (30.7 ms/frame at T=2 vs vmap's 23.6; vmap T=4 runs the whole chunk in
+# 27.5 ms) while leaving T=1 unchanged (45.9 both ways — the unbatched
+# per-pixel gather pays the same per-index cost the padded vmap does).
+# So only the T=1 program, where vmap and map tie, stays frame-by-frame.
+_WARP_VMAP_MIN_T = 2
 
 
 def _warp_channels_batch(frames, params: TrackerParams):

@@ -22,7 +22,6 @@ from lane_tracker_tpu.tracker.config import (
 )
 from lane_tracker_tpu.tracker.state import TrackerState, state_from_npz, state_to_npz
 from lane_tracker_tpu.tracker.step import (
-    _WARP_VMAP_MIN_T,
     TrackerParams,
     build_step,
     make_initial_state,
@@ -92,11 +91,14 @@ class LaneTracker:
             pipeline=pipeline,
         )
         if latency_mode:
-            # Single-frame serving: swap the per-pixel resampling gathers
-            # for the tile-structured slab+one-hot path — bit-identical
-            # outputs, built for exactly this per-frame program shape
-            # (kernels/resample_rowmm.py; ~400 MB of HBM for the one-hot
-            # tensors, hence opt-in).
+            # EXPERIMENTAL: swap the per-pixel resampling gathers for the
+            # tile-structured slab+one-hot path (bit-identical outputs,
+            # kernels/resample_rowmm.py; ~400 MB of HBM).  Measured on
+            # hardware it did NOT beat the gather at T=1 (51.1 vs
+            # 45.9 ms — the batched-tiny-matmul shape pays per-instance
+            # what the gather pays per-index; docs/PERFORMANCE.md
+            # latency section), so this is an opt-in probe surface, not
+            # the serving default.
             self.params = self.params.with_rowmm()
         self._state: TrackerState | None = None
         self._prev_state: TrackerState | None = None
@@ -419,19 +421,8 @@ class LaneTracker:
         frames = np.ascontiguousarray(np.asarray(frames, dtype=np.uint8))
         if frames.ndim != 4:
             raise ValueError("process_chunk expects a (T, H, W, 3) batch")
-        params = self.params
-        if frames.shape[0] < _WARP_VMAP_MIN_T and params.mm_warp is None \
-                and params.pipeline != "compat":
-            # Latency-sized chunks run frame-by-frame (step._warp_
-            # channels_batch), where the per-pixel gather's per-index
-            # cost dominates — swap in the bit-identical rowmm resampler
-            # (built once, cached; ~400 MB of device constants).
-            if not hasattr(self, "_params_mm"):
-                self._params_mm = params.with_rowmm()
-            if self._params_mm.mm_warp is not None:
-                params = self._params_mm
         self._prev_state = self._state
-        self._state, outs = fn(self._state, frames, params)
+        self._state, outs = fn(self._state, frames, self.params)
         valid = np.asarray(outs.valid)
         self.counter += int(valid.shape[0])
         self.success += int(valid.sum())

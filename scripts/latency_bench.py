@@ -80,10 +80,19 @@ def main(argv):
         # kernels/resample_rowmm.py) — the per-pixel gather's per-index
         # cost is the measured single-frame latency cliff.
         params_mm = params.with_rowmm()
+        import os
+
+        use_rowmm = bool(int(os.environ.get("LATENCY_ROWMM", "0")))
+        skip = bool(int(os.environ.get("LATENCY_SKIP_EXISTING", "1")))
         for T in sizes:
             from lane_tracker_tpu.tracker.step import _WARP_VMAP_MIN_T
 
-            p_run = params_mm if T < _WARP_VMAP_MIN_T else params
+            if skip and (pipeline, T) in rows and \
+                    bool(rows[(pipeline, T)].get("resampler") == "rowmm") \
+                    == (use_rowmm and T < _WARP_VMAP_MIN_T):
+                continue
+            p_run = (params_mm if use_rowmm and T < _WARP_VMAP_MIN_T
+                     else params)
             chunk = np.stack([imgs[i % len(imgs)] for i in range(T)])
             chunk_d = jax.device_put(chunk)
             step = build_chunk_processor(config, with_overlay=True,
@@ -104,8 +113,19 @@ def main(argv):
                 return (st, ch ^ dep)
 
             # Scale chained iterations so small-T runs accumulate enough
-            # device time to dominate the round-trip-subtraction noise.
-            n_iters = int(min(512, max(16, 2048 // T)))
+            # device time to dominate the round-trip-subtraction noise —
+            # but cap the single-call duration: chained calls beyond
+            # ~90 s crash the tunneled TPU worker (both round-5 sweep
+            # crashes were 512-iteration T=4 calls of ~100 s+), so bound
+            # n_iters by the eager call's own measured duration.
+            import time as _time
+
+            t0 = _time.perf_counter()
+            _ = np.asarray(step(state, chunk_d, p_run)[1].valid)
+            eager_s = max(_time.perf_counter() - t0, 1e-3)
+            budget = 20.0  # seconds per chained call, well under the bar
+            n_iters = int(min(512, max(8, 2048 // T),
+                              max(8, budget // eager_s)))
             per_chunk, _ = device_time_per_iter(
                 lambda: (state, chunk_d), body, n_iters=n_iters, repeats=3,
                 invariant=p_run)
@@ -116,7 +136,7 @@ def main(argv):
                 "ms_per_frame": round(per_chunk / T * 1e3, 3),
                 "chunk_compute_ms": round(per_chunk * 1e3, 3),
             }
-            if T < _WARP_VMAP_MIN_T:
+            if use_rowmm and T < _WARP_VMAP_MIN_T:
                 rec["resampler"] = "rowmm"
             rows[(pipeline, T)] = rec
             flush()

@@ -36,6 +36,48 @@ def main(argv):
     cam, warp = load_calibration_npz("assets/calibration.npz")
     frame = np.asarray(Image.open("assets/test4.jpg").convert("RGB"))
 
+    # Sub-stage breakdown at T=1: the slab fetch (vmapped dynamic_slice)
+    # and the one-hot contraction separately, so a rowmm regression
+    # localizes to data movement vs the batched-tiny-matmul shape.
+    if "substages" in argv:
+        from lane_tracker_tpu.kernels.resample_rowmm import _taps_rowmm
+
+        params = TrackerParams.build(
+            cam.cam_matrix, cam.dist_coeffs, warp.M, warp.Minv,
+            warp.image_width_height, warp.warped_width_height,
+            warp.mppv, warp.mpph, pipeline="corridor",
+        ).with_rowmm()
+        mm = params.mm_warp
+        R, omega, tile, nT, Wp = mm.meta
+        Wd, Hd = mm.dst_size
+        Ws, Hs = mm.src_size
+        planes = jax.device_put(
+            np.random.default_rng(0).integers(
+                0, 256, (2, Hs, Ws), dtype=np.uint8))
+
+        def slab_only(carry, mmg):
+            x = jnp.pad(carry, ((0, 0), (0, 1), (0, Wp - carry.shape[2])))
+
+            def slab(iy, s):
+                return jax.lax.dynamic_slice(
+                    x, (0, iy, s), (2, R + 1, omega))
+
+            win = jax.vmap(jax.vmap(slab))(mmg.iy0, mmg.starts)
+            dep = (jnp.max(win) & 1).astype(jnp.uint8)
+            return carry ^ dep
+
+        def taps_full(carry, mmg):
+            taps = _taps_rowmm(carry, mmg)
+            dep = (jnp.max(taps[0]).astype(jnp.int32) & 1).astype(jnp.uint8)
+            return carry ^ dep
+
+        for label, fn in (("slab_only", slab_only), ("taps_full", taps_full)):
+            per_call, _ = device_time_per_iter(
+                lambda: planes, fn, n_iters=64, repeats=3, invariant=mm)
+            print(json.dumps({"substage": label,
+                              "ms": round(per_call * 1e3, 3)}), flush=True)
+        return
+
     sizes = [int(a) for a in argv] or [1, 4, 32, 512]
     for pipeline in ("corridor", "fast"):
         params = TrackerParams.build(
