@@ -528,7 +528,11 @@ def _embed_prefixes(pref: RowPrefixes, params: TrackerParams) -> RowPrefixes:
 # whole-chunk.  Mapping in blocks caps the tap temps at batch size while
 # the warped-channel OUTPUTS (u8, 2 x T*Hw*Ww) are unchanged.  The
 # threshold leaves the benched T=512 headline program byte-identical.
-_WARP_MAP_MIN_T = 768
+# LT_WARP_MAP_MIN_T lowers the blocking threshold (e.g. 512 to block the
+# fleet's flattened 8x64 front, whose tap temps are what RESOURCE_EXHAUST
+# that configuration — see docs/PERFORMANCE.md fleet section).
+_WARP_MAP_MIN_T = int(__import__("os").environ.get(
+    "LT_WARP_MAP_MIN_T", "768"))
 _WARP_MAP_BATCH = 256
 # Chunks BELOW this T warp frame-by-frame (lax.map with no inner vmap).
 # Round-5 measurement history: the bisect blamed the T=1 cliff on the
