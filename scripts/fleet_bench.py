@@ -82,7 +82,16 @@ def main(argv):
         dead[0] = 0
         variants["dead_stream"] = dead
 
-        for schedule in ("two_phase", "hoist", "auto"):
+        # FLEET_SCHEDULES / FLEET_LOADS trim the grid (comma-separated)
+        # for time-boxed runs; the full 3x4 grid remains the default.
+        schedules = tuple(
+            s for s in ("two_phase", "hoist", "auto")
+            if s in os.environ.get("FLEET_SCHEDULES",
+                                   "two_phase,hoist,auto").split(","))
+        sel_loads = os.environ.get(
+            "FLEET_LOADS", ",".join(variants)).split(",")
+        variants = {k: v for k, v in variants.items() if k in sel_loads}
+        for schedule in schedules:
             for vname, frames in variants.items():
                 resolved = schedule
                 if schedule == "auto":
